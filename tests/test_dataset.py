@@ -1,0 +1,103 @@
+"""Dataset + indexing tests: loading, caching round-trip, CSR indexes."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from kge_tpu import Config, Dataset
+from kge_tpu.indexing import KvsAllIndex
+
+from tests.util import get_dataset_folder
+
+
+@pytest.fixture()
+def config():
+    config = Config()
+    config.folder = None
+    config.set("job.device", "cpu")
+    config.set("dataset.name", "dataset_test")
+    return config
+
+
+@pytest.fixture()
+def folder():
+    return get_dataset_folder("dataset_test")
+
+
+def _clear_caches(folder):
+    for f in glob.glob(os.path.join(folder, "*.cache.pkl")):
+        os.remove(f)
+
+
+def test_load(config, folder):
+    _clear_caches(folder)
+    config.set("dataset.pickle", False)
+    dataset = Dataset.create(config, folder)
+    assert dataset.num_entities() == 4
+    assert dataset.num_relations() == 3
+    assert dataset.split("train").shape == (6, 3)
+    assert dataset.split("valid").shape == (2, 3)
+    assert dataset.split("test").shape == (2, 3)
+    assert dataset.split("train").dtype == np.int32
+    assert dataset.entity_ids(0) == "Anna"
+    assert dataset.relation_ids(2) == "hates"
+
+
+def test_cache_roundtrip(config, folder):
+    _clear_caches(folder)
+    config.set("dataset.pickle", True)
+    d1 = Dataset.create(config, folder)
+    train1 = d1.split("train").copy()
+    idx1 = d1.index("train_sp_to_o")
+    # cache files exist now
+    assert glob.glob(os.path.join(folder, "*.cache.pkl"))
+    # reload from cache: identical content
+    d2 = Dataset.create(config.clone(), folder)
+    np.testing.assert_array_equal(train1, d2.split("train"))
+    idx2 = d2.index("train_sp_to_o")
+    np.testing.assert_array_equal(idx1.keys, idx2.keys)
+    np.testing.assert_array_equal(idx1.offsets, idx2.offsets)
+    np.testing.assert_array_equal(idx1.values, idx2.values)
+    _clear_caches(folder)
+
+
+def test_kvsall_index_semantics():
+    triples = np.array(
+        [[0, 0, 1], [0, 0, 2], [1, 0, 2], [0, 1, 1], [2, 2, 0]], dtype=np.int32
+    )
+    index = KvsAllIndex(triples, [0, 1], 2)
+    np.testing.assert_array_equal(index.get((0, 0)), [1, 2])
+    np.testing.assert_array_equal(index.get((0, 1)), [1])
+    np.testing.assert_array_equal(index.get((1, 0)), [2])
+    assert len(index.get((5, 5))) == 0
+    assert len(index) == 4
+    rows, values = index.get_all_coords(np.array([[0, 0], [9, 9], [2, 2]]))
+    np.testing.assert_array_equal(rows, [0, 0, 2])
+    np.testing.assert_array_equal(values, [1, 2, 0])
+
+
+def test_default_indexes(config, folder):
+    config.set("dataset.pickle", False)
+    dataset = Dataset.create(config, folder)
+    sp = dataset.index("train_sp_to_o")
+    po = dataset.index("train_po_to_s")
+    so = dataset.index("train_so_to_p")
+    train = dataset.split("train")
+    # every triple must be found in each index
+    for s, p, o in train:
+        assert o in sp.get((s, p))
+        assert s in po.get((p, o))
+        assert p in so.get((s, o))
+    types = dataset.index("relation_types")
+    assert len(types) == 3
+    assert all(t in ("1-1", "1-N", "M-1", "M-N") for t in types)
+    edge_index = dataset.index("edge_index")
+    edge_type = dataset.index("edge_type")
+    assert edge_index.shape == (2, 2 * len(train))
+    assert edge_type.shape == (2 * len(train),)
+    # inverse edges use offset relation ids
+    assert edge_type[len(train)] == train[0, 1] + dataset.num_relations()
+    freq = dataset.index("frequency_percentiles")
+    assert set(freq.keys()) == {"subject", "relation", "object"}
