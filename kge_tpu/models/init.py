@@ -1,0 +1,75 @@
+"""Parameter initializers, config-dispatched by torch-style names.
+
+The reference dispatches config-named initializers onto ``torch.nn.init``
+(reference: kge/model/kge_model.py:41-80); here the same names map onto
+jax.random primitives so configs carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def _fans(shape):
+    if len(shape) < 2:
+        return (shape[0] if shape else 1,) * 2
+    receptive = 1
+    for s in shape[2:]:
+        receptive *= s
+    return shape[1] * receptive, shape[0] * receptive
+
+
+def initialize(rng: jax.Array, shape, name: str, args: Dict) -> jnp.ndarray:
+    """Draw an initial tensor of ``shape`` using the named scheme."""
+    args = dict(args or {})
+    args.pop("+++", None)
+    if name in ("normal_", "normal"):
+        mean = float(args.get("mean", 0.0))
+        std = float(args.get("std", 1.0))
+        return mean + std * jax.random.normal(rng, shape, dtype=jnp.float32)
+    if name in ("uniform_", "uniform"):
+        a = float(args.get("a", 0.0))
+        b = float(args.get("b", 1.0))
+        return jax.random.uniform(rng, shape, minval=a, maxval=b, dtype=jnp.float32)
+    if name in ("xavier_normal_", "xavier_normal"):
+        gain = float(args.get("gain", 1.0))
+        fan_in, fan_out = _fans(shape)
+        std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+        return std * jax.random.normal(rng, shape, dtype=jnp.float32)
+    if name in ("xavier_uniform_", "xavier_uniform"):
+        gain = float(args.get("gain", 1.0))
+        fan_in, fan_out = _fans(shape)
+        a = gain * math.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(rng, shape, minval=-a, maxval=a, dtype=jnp.float32)
+    if name in ("kaiming_uniform_", "kaiming_uniform"):
+        a = float(args.get("a", math.sqrt(5.0)))
+        fan_in, _ = _fans(shape)
+        gain = math.sqrt(2.0 / (1.0 + a * a))
+        bound = gain * math.sqrt(3.0 / fan_in)
+        return jax.random.uniform(
+            rng, shape, minval=-bound, maxval=bound, dtype=jnp.float32
+        )
+    if name in ("constant_", "constant"):
+        return jnp.full(shape, float(args.get("val", 0.0)), dtype=jnp.float32)
+    if name in ("ones_", "ones"):
+        return jnp.ones(shape, dtype=jnp.float32)
+    if name in ("zeros_", "zeros"):
+        return jnp.zeros(shape, dtype=jnp.float32)
+    raise ValueError(f"unknown initializer {name!r}")
+
+
+def select_initialize_args(name: str, args: Dict) -> Dict:
+    """If args has a subkey matching the initializer name, use that subtree
+    (reference behavior for lookup_embedder.initialize_args)."""
+    args = dict(args or {})
+    args.pop("+++", None)
+    if name in args and isinstance(args[name], dict):
+        return args[name]
+    if name.rstrip("_") in args and isinstance(args[name.rstrip("_")], dict):
+        return args[name.rstrip("_")]
+    # drop any other initializer-named subtrees
+    return {k: v for k, v in args.items() if not isinstance(v, dict)}
