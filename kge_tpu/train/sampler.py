@@ -1,0 +1,255 @@
+"""Negative samplers (host-side numpy, static-shape device payloads).
+
+Capability parity with the reference sampler stack (reference:
+kge/util/sampler.py): uniform and frequency sampling, per-slot filtering
+with resampling, and shared sampling (naive/default, with the
+positive-drop trick).
+
+TPU re-design: sampling stays on the host (it is inherently
+data-dependent), but every batch ships to the device as *fixed-shape*
+arrays so the compiled train step never re-specializes:
+
+- non-shared: ``negatives`` [B, num] int32
+- shared: ``unique`` [num+1] int32 (padded) + ``gather`` [B, num] int32
+  column map, so the step scores the unique set once ([B, num+1] matmul)
+  and gathers per-row columns — the same trick as the reference's
+  shared-batch fast path, in static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from kge_tpu.config import Config, Configurable
+from kge_tpu.dataset import Dataset
+
+S, P, O = 0, 1, 2
+SLOT_STR = ["s", "p", "o"]
+SLOTS = [S, P, O]
+
+
+class BatchNegativeSample:
+    """Fixed-shape negative sample for one slot of a batch."""
+
+    def __init__(self, slot: int, num_samples: int,
+                 negatives: Optional[np.ndarray] = None,
+                 unique: Optional[np.ndarray] = None,
+                 gather: Optional[np.ndarray] = None):
+        self.slot = slot
+        self.num_samples = num_samples
+        self._negatives = negatives
+        self.unique = unique
+        self.gather = gather
+
+    @property
+    def shared(self) -> bool:
+        return self.unique is not None
+
+    def materialize(self) -> np.ndarray:
+        """[B, num] negative indexes (expands the shared representation)."""
+        if self._negatives is not None:
+            return self._negatives
+        return self.unique[self.gather]
+
+
+class KgeSampler(Configurable):
+    def __init__(self, config: Config, configuration_key: str, dataset: Dataset):
+        super().__init__(config, configuration_key)
+        self.dataset = dataset
+        self.num_samples = np.zeros(3, dtype=np.int64)
+        self.filter_positives = np.zeros(3, dtype=bool)
+        self.vocabulary_size = np.zeros(3, dtype=np.int64)
+        self.shared = self.get_option("shared")
+        self.shared_type = self.check_option("shared_type", ["naive", "default"])
+        self.with_replacement = self.get_option("with_replacement")
+        if not self.with_replacement and not self.shared:
+            raise ValueError(
+                "without-replacement sampling requires shared negative sampling"
+            )
+        self.filtering_split = config.get("negative_sampling.filtering.split")
+        if self.filtering_split == "":
+            self.filtering_split = config.get("train.split")
+        for slot in SLOTS:
+            slot_str = SLOT_STR[slot]
+            self.num_samples[slot] = self.get_option(f"num_samples.{slot_str}")
+            self.filter_positives[slot] = self.get_option(f"filtering.{slot_str}")
+            self.vocabulary_size[slot] = (
+                dataset.num_relations() if slot == P else dataset.num_entities()
+            )
+            if self.filter_positives[slot]:
+                pair = ["po", "so", "sp"][slot]
+                dataset.index(f"{self.filtering_split}_{pair}_to_{slot_str}")
+        if self.filter_positives.any() and self.shared:
+            raise ValueError("filtering is incompatible with shared sampling")
+        # auto-complete sample counts (-1: copy from S)
+        for slot, copy_from in [(S, O), (P, None), (O, S)]:
+            if self.num_samples[slot] < 0:
+                if copy_from is not None and self.num_samples[copy_from] > 0:
+                    self.num_samples[slot] = self.num_samples[copy_from]
+                else:
+                    self.num_samples[slot] = 0
+        self._rng = np.random.default_rng()
+
+    def seed(self, seed: int):
+        self._rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def create(config: Config, configuration_key: str,
+               dataset: Dataset) -> "KgeSampler":
+        sampling_type = config.get(configuration_key + ".sampling_type")
+        if sampling_type == "uniform":
+            return KgeUniformSampler(config, configuration_key, dataset)
+        if sampling_type == "frequency":
+            return KgeFrequencySampler(config, configuration_key, dataset)
+        raise ValueError(configuration_key + ".sampling_type")
+
+    @property
+    def num_negatives_total(self) -> int:
+        return int(self.num_samples.sum())
+
+    # ------------------------------------------------------------------ api
+
+    def sample(self, positive_triples: np.ndarray, slot: int,
+               num_samples: Optional[int] = None) -> BatchNegativeSample:
+        if num_samples is None:
+            num_samples = int(self.num_samples[slot])
+        if self.shared:
+            return self._sample_shared(positive_triples, slot, num_samples)
+        negatives = self._sample(positive_triples, slot, num_samples)
+        if self.filter_positives[slot]:
+            negatives = self._filter_and_resample(
+                negatives, slot, positive_triples
+            )
+        return BatchNegativeSample(slot, num_samples, negatives=negatives)
+
+    def _sample(self, positive_triples: np.ndarray, slot: int,
+                num_samples: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def _sample_shared(self, positive_triples: np.ndarray, slot: int,
+                       num_samples: int) -> BatchNegativeSample:
+        raise NotImplementedError(
+            "the selected sampler does not support shared sampling"
+        )
+
+    def _filter_and_resample(self, negatives: np.ndarray, slot: int,
+                             positive_triples: np.ndarray) -> np.ndarray:
+        """Resample entries that are known positives (vectorized rows)."""
+        pair_str = ["po", "so", "sp"][slot]
+        index = self.dataset.index(
+            f"{self.filtering_split}_{pair_str}_to_{SLOT_STR[slot]}"
+        )
+        cols = [[P, O], [S, O], [S, P]][slot]
+        pairs = positive_triples[:, cols]
+        for i in range(len(positive_triples)):
+            positives = np.asarray(index.get((int(pairs[i, 0]), int(pairs[i, 1]))))
+            if len(positives) == 0:
+                continue
+            bad = np.flatnonzero(np.isin(negatives[i], positives))
+            guard = 0
+            while len(bad) and guard < 1000:
+                fresh = self._sample(
+                    positive_triples[i : i + 1], slot, len(bad)
+                ).reshape(-1)
+                ok = ~np.isin(fresh, positives)
+                negatives[i, bad[ok]] = fresh[ok]
+                bad = bad[~ok]
+                guard += 1
+        return negatives
+
+
+class KgeUniformSampler(KgeSampler):
+    def _sample(self, positive_triples, slot, num_samples):
+        return self._rng.integers(
+            self.vocabulary_size[slot],
+            size=(len(positive_triples), num_samples),
+            dtype=np.int64,
+        ).astype(np.int32)
+
+    def _sample_shared(self, positive_triples, slot, num_samples):
+        """Shared sampling with the positive-drop trick (reference:
+        kge/util/sampler.py:597-698), emitted as unique+gather arrays."""
+        batch_size = len(positive_triples)
+        voc = int(self.vocabulary_size[slot])
+        if self.with_replacement:
+            # distribution of #distinct values in a WR sample
+            base = voc if self.shared_type == "naive" else voc - 1
+            num_unique = len(
+                np.unique(self._rng.integers(base, size=num_samples))
+            )
+        else:
+            num_unique = num_samples
+        take = num_unique if self.shared_type == "naive" else num_unique + 1
+        unique = self._rng.choice(voc, size=take, replace=False).astype(np.int32)
+        if num_unique != num_samples:
+            repeat_indexes = self._rng.integers(
+                num_unique, size=num_samples - num_unique
+            )
+        else:
+            repeat_indexes = np.zeros(0, dtype=np.int64)
+
+        if self.shared_type == "naive":
+            cols_base = np.broadcast_to(
+                np.arange(num_unique, dtype=np.int32), (batch_size, num_unique)
+            )
+        else:
+            positives = positive_triples[:, slot]
+            drop = self._rng.integers(num_unique + 1, size=batch_size)
+            # rows whose positive is among the unique samples drop exactly it
+            pos_in_unique = np.searchsorted(
+                np.sort(unique), positives
+            )
+            order = np.argsort(unique, kind="stable")
+            sorted_unique = unique[order]
+            hit = (pos_in_unique < len(unique)) & (
+                sorted_unique[np.minimum(pos_in_unique, len(unique) - 1)]
+                == positives
+            )
+            drop = np.where(
+                hit, order[np.minimum(pos_in_unique, len(unique) - 1)], drop
+            )
+            # row samples: positions 0..num_unique-1, with the dropped one
+            # replaced by the extra sample at position num_unique
+            cols_base = np.broadcast_to(
+                np.arange(num_unique, dtype=np.int64),
+                (batch_size, num_unique),
+            ).copy()
+            replace_mask = cols_base == drop[:, None]
+            cols_base[replace_mask] = num_unique
+            cols_base = cols_base.astype(np.int32)
+
+        if len(repeat_indexes):
+            cols_rep = cols_base[:, repeat_indexes]
+            gather = np.concatenate([cols_base, cols_rep], axis=1)
+        else:
+            gather = cols_base
+        # pad unique to the static length num_samples+1
+        padded = np.zeros(num_samples + 1, dtype=np.int32)
+        padded[: len(unique)] = unique
+        if len(unique) < num_samples + 1:
+            padded[len(unique):] = unique[0]
+        return BatchNegativeSample(
+            slot, num_samples, unique=padded, gather=gather
+        )
+
+
+class KgeFrequencySampler(KgeSampler):
+    """Sample proportionally to smoothed training-data frequency
+    (reference: kge/util/sampler.py:755-793)."""
+
+    def __init__(self, config, configuration_key, dataset):
+        super().__init__(config, configuration_key, dataset)
+        self._cdf = [None, None, None]
+        smoothing = self.get_option("frequency.smoothing")
+        train = dataset.split(config.get("train.split"))
+        for slot in SLOTS:
+            counts = np.bincount(
+                train[:, slot], minlength=int(self.vocabulary_size[slot])
+            ).astype(np.float64) + smoothing
+            self._cdf[slot] = np.cumsum(counts / counts.sum())
+
+    def _sample(self, positive_triples, slot, num_samples):
+        u = self._rng.random((len(positive_triples), num_samples))
+        return np.searchsorted(self._cdf[slot], u).astype(np.int32)

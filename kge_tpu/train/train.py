@@ -1,0 +1,456 @@
+"""Training job base: host epoch loop around one compiled train step.
+
+Re-design of the reference training driver (reference: kge/job/train.py):
+the epoch loop, validation, early stopping, LR control, and checkpoint
+rotation stay host-side and match the reference's semantics; the per-batch
+work (forward, loss, penalties, backward, optimizer update, parameter
+constraints) is ONE jitted function per training strategy with donated
+buffers and static shapes:
+
+- every batch is padded to ``train.batch_size`` with zero-weight rows, so
+  the step compiles exactly once per epoch shape
+- ``train.subbatch_size`` becomes in-step gradient accumulation (a static
+  Python loop over subbatch slices inside the traced function), which is
+  bit-identical to the reference's split forward/backward
+- learning rates enter as traced scalars (no recompile on LR changes)
+- NaN checking and metric reads sync with the device once per epoch, not
+  per batch
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kge_tpu.config import Config
+from kge_tpu.dataset import Dataset
+from kge_tpu.models import Ctx, KgeModel
+from kge_tpu.parallel.mesh import resolve_device
+from kge_tpu.train.job import Job, TrainingOrEvaluationJob
+from kge_tpu.train.loss import KgeLoss
+from kge_tpu.train.optimizer import KgeLRScheduler, KgeOptimizer
+from kge_tpu.utils.io import save_checkpoint
+from kge_tpu.utils.metric import Metric
+from kge_tpu.utils.misc import init_from
+from kge_tpu.utils.seed import rng_seed_from_config
+
+
+class TrainingJob(TrainingOrEvaluationJob):
+    """Abstract base for training strategies."""
+
+    def __init__(self, config: Config, dataset: Dataset, parent_job: Job = None,
+                 model: Optional[KgeModel] = None, forward_only: bool = False):
+        super().__init__(config, dataset, parent_job)
+        self.device = resolve_device(config)
+        if model is None:
+            self.model = KgeModel.create(config, dataset)
+        else:
+            self.model = model
+        self.loss = KgeLoss.create(config)
+        self.batch_size: int = config.get("train.batch_size")
+        self.subbatch_size: int = config.get("train.subbatch_size")
+        self.train_split: str = config.get("train.split")
+        self.is_forward_only = forward_only
+        self.epoch = 0
+        self.valid_trace: List[Dict[str, Any]] = []
+        self.abort_on_nan: bool = config.get("train.abort_on_nan")
+        self.type_str = "generic"
+        self.post_valid_hooks: List[Callable] = []
+
+        # parameter/optimizer state
+        seed = rng_seed_from_config(config, "jax")
+        if seed < 0:
+            seed = int.from_bytes(os.urandom(4), "little")
+        self.rng = jax.random.PRNGKey(seed)
+        self.rng, init_rng = jax.random.split(self.rng)
+        with jax.default_device(self.device):
+            self.params = self.model.init_params(init_rng)
+            self.params = self.model.normalize_params(self.params)
+            self.model_state = self.model.init_state()
+        self.optimizer = KgeOptimizer(config, self.params)
+        self.opt_state = self.optimizer.init(self.params) \
+            if not forward_only else None
+        self.lr_scheduler = KgeLRScheduler(config)
+        np_seed = rng_seed_from_config(config, "numpy")
+        self._np_rng = np.random.default_rng(np_seed if np_seed >= 0 else None)
+
+        self._train_step = None  # compiled lazily per strategy
+
+        if not self.is_forward_only:
+            from kge_tpu.evaluation.eval import EvaluationJob
+
+            valid_conf = config.clone()
+            valid_conf.set("job.type", "eval")
+            valid_conf.set(
+                "eval.split",
+                config.get("valid.split") or config.get("eval.split"),
+            )
+            valid_conf.set("eval.trace_level", config.get("valid.trace_level"))
+            self.valid_job = EvaluationJob.create(
+                valid_conf, dataset, parent_job=self, model=self.model
+            )
+            self.valid_job.share_params(self)
+        self.model.prepare_job(self)
+
+    # ------------------------------------------------------------------ factory
+
+    @staticmethod
+    def create(config: Config, dataset: Dataset, parent_job: Job = None,
+               model: Optional[KgeModel] = None,
+               forward_only: bool = False) -> "TrainingJob":
+        train_type = config.get("train.type")
+        class_name = config.get_default(train_type + ".class_name")
+        return init_from(
+            class_name, config.modules(), config, dataset,
+            parent_job=parent_job, model=model, forward_only=forward_only,
+        )
+
+    # ------------------------------------------------------------------ strategy API
+
+    def _prepare(self):
+        """Subclasses set self.num_examples and any precomputed indexes."""
+        raise NotImplementedError
+
+    def _generate_batches(self, epoch: int):
+        """Yield per-batch numpy dicts (padded to static shapes)."""
+        raise NotImplementedError
+
+    def _num_batches(self) -> int:
+        return math.ceil(self.num_examples / self.batch_size)
+
+    def _subbatch_loss(self, params, ctx: Ctx, batch: Dict[str, jnp.ndarray],
+                       sub_slice: slice) -> jnp.ndarray:
+        """Loss sum of the given subbatch, already divided by batch size."""
+        raise NotImplementedError
+
+    def _penalty_batch(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
+        if "triples" in batch:
+            return {"triples": batch["triples"]}
+        return {}
+
+    # ------------------------------------------------------------------ compiled step
+
+    def _subbatch_slices(self) -> List[slice]:
+        size = self.batch_size
+        sub = self.subbatch_size if self.subbatch_size > 0 else size
+        return [slice(i, min(i + sub, size)) for i in range(0, size, sub)]
+
+    def _build_train_step(self) -> Callable:
+        model = self.model
+        optimizer = self.optimizer
+        slices = self._subbatch_slices()
+        forward_only = self.is_forward_only
+
+        def step(params, opt_state, model_state, batch, lrs, rng):
+            total_loss = 0.0
+            new_model_state = model_state
+            if forward_only:
+                for i, sl in enumerate(slices):
+                    ctx = Ctx(train=True, rng=jax.random.fold_in(rng, i),
+                              state=model_state)
+                    total_loss = total_loss + self._subbatch_loss(
+                        params, ctx, batch, sl
+                    )
+                metrics = {"avg_loss": total_loss, "avg_penalty": 0.0,
+                           "avg_cost": total_loss}
+                return params, opt_state, model_state, metrics
+
+            grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            for i, sl in enumerate(slices):
+                def loss_fn(p, i=i, sl=sl):
+                    ctx = Ctx(train=True, rng=jax.random.fold_in(rng, i),
+                              state=model_state)
+                    value = self._subbatch_loss(p, ctx, batch, sl)
+                    return value, ctx.updates
+                (value, updates), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                grads = jax.tree_util.tree_map(jnp.add, grads, g)
+                total_loss = total_loss + value
+                if updates:
+                    new_model_state = {**new_model_state, **updates}
+
+            def penalty_fn(p):
+                ctx = Ctx(train=True, rng=jax.random.fold_in(rng, 7919),
+                          state=model_state)
+                terms = model.penalties(
+                    p, ctx, batch=self._penalty_batch(batch)
+                )
+                total = 0.0
+                for _, v in terms:
+                    total = total + v
+                return total, dict(terms)
+
+            (penalty_total, penalty_dict), pg = jax.value_and_grad(
+                penalty_fn, has_aux=True
+            )(params)
+            grads = jax.tree_util.tree_map(jnp.add, grads, pg)
+            params, opt_state = optimizer.apply_updates(
+                params, grads, opt_state, lrs
+            )
+            params = model.normalize_params(params)
+            metrics = {
+                "avg_loss": total_loss,
+                "avg_penalty": penalty_total,
+                "avg_cost": total_loss + penalty_total,
+                **{f"avg_penalty_{k}": v for k, v in penalty_dict.items()},
+            }
+            return params, opt_state, new_model_state, metrics
+
+        donate = (0, 1, 2) if self.config.get("tpu.donate_buffers") else ()
+        return jax.jit(step, donate_argnums=donate)
+
+    # ------------------------------------------------------------------ run
+
+    def run(self) -> Dict[str, Any]:
+        """Epoch loop with validation, early stopping, LR scheduling, and
+        checkpoint rotation (reference: kge/job/train.py:139-254)."""
+        if not self._is_prepared:
+            self._prepare()
+            self._is_prepared = True
+
+        for f in self.pre_run_hooks:
+            f(self)
+
+        self.config.log(f"Starting training ({self.type_str})...")
+        checkpoint_every = self.config.get("train.checkpoint.every")
+        checkpoint_keep = self.config.get("train.checkpoint.keep")
+        metric_name = self.config.get("valid.metric")
+        patience = self.config.get("valid.early_stopping.patience")
+
+        if (self.epoch == 0 and not self.is_forward_only
+                and self.config.folder):
+            self._save(self.config.checkpoint_file(0))
+
+        while True:
+            # should we stop?
+            if self.epoch >= self.config.get("train.max_epochs"):
+                self.config.log("Maximum number of epochs reached.")
+                break
+            if len(self.valid_trace) > 0 and patience > 0:
+                recent = self.valid_trace[-patience:]
+                best_overall = Metric(self).best(
+                    [t[metric_name] for t in self.valid_trace]
+                )
+                best_recent = Metric(self).best(
+                    [t[metric_name] for t in recent]
+                )
+                if (len(self.valid_trace) > patience
+                        and Metric(self).better(best_overall, best_recent)):
+                    self.config.log(
+                        f"Stopping early ({patience} validations without "
+                        "improvement)."
+                    )
+                    break
+            th_epochs = self.config.get(
+                "valid.early_stopping.threshold.epochs"
+            )
+            if len(self.valid_trace) > 0 and th_epochs > 0:
+                th_value = self.config.get(
+                    "valid.early_stopping.threshold.metric_value"
+                )
+                best = Metric(self).best(
+                    [t[metric_name] for t in self.valid_trace]
+                )
+                if self.epoch >= th_epochs and Metric(self).better(
+                    th_value, best
+                ):
+                    self.config.log(
+                        "Stopping early (threshold not reached)."
+                    )
+                    break
+
+            # run one epoch
+            self.epoch += 1
+            self.config.log(f"Starting epoch {self.epoch}...")
+            trace_entry = self.run_epoch()
+            self.config.log(f"Finished epoch {self.epoch}.")
+
+            # validate
+            if (not self.is_forward_only
+                    and self.config.get("valid.every") > 0
+                    and self.epoch % self.config.get("valid.every") == 0):
+                self.valid_job.epoch = self.epoch
+                valid_entry = self.valid_job.run()
+                self.valid_trace.append(valid_entry)
+                for f in self.post_valid_hooks:
+                    f(self)
+                metric_value = valid_entry[metric_name]
+                self.lr_scheduler.step(metric_value)
+                # save best checkpoint
+                best = Metric(self).best(
+                    [t[metric_name] for t in self.valid_trace]
+                )
+                if metric_value == best and self.config.folder:
+                    self._save(self.config.checkpoint_file("best"))
+            elif not self.is_forward_only:
+                self.lr_scheduler.step(None)
+
+            # checkpoint rotation (reference: train.py:236-254)
+            if not self.is_forward_only and self.config.folder:
+                self._save(self.config.checkpoint_file(self.epoch))
+                self._delete_obsolete_checkpoints(
+                    checkpoint_every, checkpoint_keep
+                )
+
+        self.trace(event="train_completed", epoch=self.epoch)
+        result = self.current_trace["epoch"] or {}
+        for f in self.post_run_hooks:
+            f(self, result)
+        return result
+
+    def _delete_obsolete_checkpoints(self, every: int, keep: int):
+        if not self.config.folder:
+            return
+        keep_init = self.config.get("train.checkpoint.keep_init")
+        for e in range(1 if keep_init else 0, self.epoch):
+            keep_this = (
+                every > 0 and e % every == 0
+                and e > self.epoch - every * keep - 1
+            )
+            if not keep_this:
+                path = self.config.checkpoint_file(e)
+                if os.path.isfile(path):
+                    os.remove(path)
+
+    def run_epoch(self) -> Dict[str, Any]:
+        for f in self.pre_epoch_hooks:
+            f(self)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+
+        lr_scale = self.lr_scheduler.lr_scale(self.epoch)
+        lrs = {
+            g: jnp.asarray(base * lr_scale, dtype=jnp.float32)
+            for g, base in self.optimizer.base_lrs.items()
+        }
+
+        epoch_start = time.time()
+        batch_metrics: List[Dict[str, jnp.ndarray]] = []
+        num_batches = 0
+        prepare_time = 0.0
+        self.rng, epoch_rng = jax.random.split(self.rng)
+        for batch_index, batch_np in enumerate(self._generate_batches(self.epoch)):
+            for f in self.pre_batch_hooks:
+                f(self)
+            t0 = time.time()
+            batch = {
+                k: jax.device_put(v, self.device)
+                for k, v in batch_np.items()
+            }
+            prepare_time += time.time() - t0
+            step_rng = jax.random.fold_in(epoch_rng, batch_index)
+            (self.params, self.opt_state, self.model_state,
+             metrics) = self._train_step(
+                self.params, self.opt_state, self.model_state, batch, lrs,
+                step_rng,
+            )
+            batch_metrics.append(metrics)
+            num_batches += 1
+            for f in self.post_batch_hooks:
+                f(self)
+
+        # single device sync for the whole epoch
+        sums: Dict[str, float] = {}
+        for metrics in batch_metrics:
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        epoch_time = time.time() - epoch_start
+
+        if self.abort_on_nan and not math.isfinite(sums.get("avg_cost", 0.0)):
+            raise FloatingPointError("training cost became NaN")
+
+        trace_entry = dict(
+            type=self.type_str,
+            scope="epoch",
+            epoch=self.epoch,
+            split=self.train_split,
+            batches=num_batches,
+            size=self.num_examples,
+            epoch_time=epoch_time,
+            prepare_time=prepare_time,
+            event="epoch_completed",
+            **{k: v / max(num_batches, 1) for k, v in sums.items()},
+        )
+        self.current_trace["epoch"] = trace_entry
+        for f in self.post_epoch_hooks:
+            f(self)
+        self.trace(**trace_entry, echo=False, log=True)
+        if self.config.get("train.trace_level") == "batch":
+            for i, metrics in enumerate(batch_metrics):
+                self.trace(
+                    type=self.type_str, scope="batch", epoch=self.epoch,
+                    batch=i,
+                    **{k: float(v) for k, v in metrics.items()},
+                )
+        return trace_entry
+
+    # ------------------------------------------------------------------ checkpoints
+
+    def _save(self, filename: str):
+        if self.config.folder is None:
+            return
+        self.config.log(f"Saving checkpoint to {filename}...")
+        checkpoint = {
+            "type": "train",
+            "epoch": self.epoch,
+            "valid_trace": self.valid_trace,
+            "lr_scheduler": self.lr_scheduler.state_dict(),
+            "job_id": self.job_id,
+            "rng": np.asarray(self.rng),
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.opt_state),
+        }
+        self.model.save_to(checkpoint, self.params, self.model_state)
+        self.config.save_to(checkpoint)
+        self.dataset.save_to(checkpoint)
+        save_checkpoint(filename, checkpoint)
+
+    def _load(self, checkpoint: Dict[str, Any]):
+        if checkpoint["type"] != "train":
+            raise ValueError("training can only be continued from trained models")
+        with jax.default_device(self.device):
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray, checkpoint["model"]["params"]
+            )
+            self.model_state = jax.tree_util.tree_map(
+                jnp.asarray, checkpoint["model"].get("state", {})
+            )
+            if checkpoint.get("opt_state") is not None and not self.is_forward_only:
+                self.opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(self.opt_state),
+                    [jnp.asarray(x) for x in jax.tree_util.tree_leaves(
+                        checkpoint["opt_state"]
+                    )],
+                )
+        self.epoch = checkpoint["epoch"]
+        self.valid_trace = checkpoint["valid_trace"]
+        if "lr_scheduler" in checkpoint:
+            self.lr_scheduler.load_state_dict(checkpoint["lr_scheduler"])
+        if "rng" in checkpoint:
+            self.rng = jnp.asarray(checkpoint["rng"])
+        self.resumed_from_job_id = checkpoint.get("job_id")
+        self.trace(
+            event="job_resumed", epoch=self.epoch,
+            checkpoint_file=checkpoint.get("file"),
+        )
+
+    # ------------------------------------------------------------------ batching helpers
+
+    def _pad_batch_indexes(self, order: np.ndarray):
+        """Yield (indexes[batch_size], weights[batch_size], true_size)."""
+        n = len(order)
+        for start in range(0, n, self.batch_size):
+            chunk = order[start : start + self.batch_size]
+            true = len(chunk)
+            if true < self.batch_size:
+                pad = np.zeros(self.batch_size - true, dtype=chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            weights = np.zeros(self.batch_size, dtype=np.float32)
+            weights[:true] = 1.0
+            yield chunk, weights, true

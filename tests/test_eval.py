@@ -1,0 +1,126 @@
+"""Entity-ranking evaluation tests.
+
+The compiled rank-counting path is checked against a brute-force numpy
+referee implementing the reference's exact semantics: filtering by -inf
+masking, tie counting with rtol/atol, rounded-mean tie policy, rank
+histograms -> MRR / Hits@K.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from kge_tpu import Dataset
+from kge_tpu.evaluation.eval import EvaluationJob
+from kge_tpu.models import Ctx, KgeModel
+
+from tests.util import create_config, get_dataset_folder
+
+
+def _setup(chunk_size=-1, model_name="complex"):
+    config = create_config("dataset_test", model=model_name)
+    config.set("job.type", "eval")
+    config.set("eval.split", "test")
+    config.set("lookup_embedder.dim", 16)
+    config.set("entity_ranking.chunk_size", chunk_size)
+    config.set("entity_ranking.hits_at_k_s", [1, 2, 3])
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    model = KgeModel.create(config, dataset)
+    params = model.init_params(jax.random.PRNGKey(7))
+    job = EvaluationJob.create(config, dataset, model=model)
+    job.set_params(params, model.init_state())
+    return config, dataset, model, params, job
+
+
+def _brute_force_metrics(config, dataset, model, params, hits_ks=(1, 2, 3)):
+    """Reference-semantics referee implementation."""
+    E = dataset.num_entities()
+    test = dataset.split("test")
+    atol, rtol = 1e-5, 1e-4
+    filter_splits = ["train", "valid", "test"]
+
+    ctx = Ctx(state=model.init_state())
+    import jax.numpy as jnp
+
+    def final_rank(scores, true_score):
+        close = np.abs(scores - true_score) <= atol + rtol * np.abs(true_score)
+        greater = (scores > true_score) & ~close
+        return greater.sum() + close.sum() // 2  # rounded_mean, 0-based
+
+    answers_sp = {}
+    answers_po = {}
+    for split in filter_splits:
+        for s, p, o in dataset.split(split):
+            answers_sp.setdefault((s, p), set()).add(o)
+            answers_po.setdefault((p, o), set()).add(s)
+
+    ranks = {"raw": [], "filt": []}
+    for s, p, o in test:
+        sp_scores = np.asarray(
+            model.score_sp(params, jnp.asarray([s]), jnp.asarray([p]), ctx=ctx)
+        )[0]
+        po_scores = np.asarray(
+            model.score_po(params, jnp.asarray([p]), jnp.asarray([o]), ctx=ctx)
+        )[0]
+        o_true, s_true = sp_scores[o], po_scores[s]
+        ranks["raw"].append(final_rank(sp_scores, o_true))
+        ranks["raw"].append(final_rank(po_scores, s_true))
+        sp_f = sp_scores.copy()
+        sp_f[list(answers_sp[(s, p)])] = -np.inf
+        po_f = po_scores.copy()
+        po_f[list(answers_po[(p, o)])] = -np.inf
+        ranks["filt"].append(final_rank(sp_f, o_true))
+        ranks["filt"].append(final_rank(po_f, s_true))
+
+    out = {}
+    for kind, rank_list in ranks.items():
+        r = np.asarray(rank_list) + 1  # 1-based
+        suffix = "" if kind == "raw" else "_filtered"
+        out["mean_reciprocal_rank" + suffix] = float(np.mean(1.0 / r))
+        out["mean_rank" + suffix] = float(np.mean(r))
+        for k in hits_ks:
+            out[f"hits_at_{k}{suffix}"] = float(np.mean(r <= k))
+    return out
+
+
+@pytest.mark.parametrize("chunk_size", [-1, 3])
+def test_entity_ranking_matches_brute_force(chunk_size):
+    config, dataset, model, params, job = _setup(chunk_size)
+    # test split is in filter_splits here -> no filtered_with_test variant
+    config.set("entity_ranking.filter_splits", ["train", "valid", "test"])
+    trace = job.run()
+    expected = _brute_force_metrics(config, dataset, model, params)
+    for key, value in expected.items():
+        assert key in trace, key
+        np.testing.assert_allclose(trace[key], value, rtol=1e-5, err_msg=key)
+
+
+def test_filtered_with_test_variant():
+    config, dataset, model, params, job = _setup()
+    # default filter splits are train+valid(+eval split added) -> here we
+    # force train/valid so the _filtered_with_test variant appears
+    config.set("entity_ranking.filter_splits", ["train", "valid"])
+    config.set("eval.split", "valid")
+    job2 = EvaluationJob.create(config, dataset, model=model)
+    job2.set_params(params, model.init_state())
+    trace = job2.run()
+    assert "mean_reciprocal_rank_filtered_with_test" in trace
+    # filtering only removes competitors: filtered MRR >= raw MRR
+    assert (trace["mean_reciprocal_rank_filtered"]
+            >= trace["mean_reciprocal_rank"] - 1e-12)
+    assert (trace["mean_reciprocal_rank_filtered_with_test"]
+            >= trace["mean_reciprocal_rank_filtered"] - 1e-12)
+
+
+def test_drilldown_metrics():
+    config, dataset, model, params, job = _setup()
+    config.set("entity_ranking.metrics_per.head_and_tail", True)
+    config.set("entity_ranking.metrics_per.relation_type", True)
+    config.set("entity_ranking.metrics_per.argument_frequency", True)
+    job2 = EvaluationJob.create(config, dataset, model=model)
+    job2.set_params(params, model.init_state())
+    trace = job2.run()
+    assert "mean_reciprocal_rank_filtered_head" in trace
+    assert any(k.endswith("_1-1") or k.endswith("_1-N") or k.endswith("_M-1")
+               or k.endswith("_M-N") for k in trace)
+    assert "mean_reciprocal_rank_subject_top" in trace

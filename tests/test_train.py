@@ -1,0 +1,99 @@
+"""Training tests: end-to-end epochs per strategy and the subbatch
+(gradient accumulation) invariance (mirrors reference tests/test_train.py)."""
+
+import numpy as np
+import pytest
+
+from kge_tpu import Dataset
+from kge_tpu.train.train import TrainingJob
+
+from tests.util import create_config, get_dataset_folder
+
+TRAIN_TYPES = ["1vsAll", "KvsAll", "negative_sampling"]
+
+
+def _make_job(train_type, subbatch_size=-1, model="complex", extra=None):
+    config = create_config("dataset_test", model=model)
+    config.set("train.type", train_type)
+    config.set("train.batch_size", 4)
+    config.set("train.subbatch_size", subbatch_size)
+    config.set("train.max_epochs", 1)
+    config.set("valid.every", 0)
+    config.set("lookup_embedder.dim", 16)
+    config.set("random_seed.default", 1234)
+    config.set("train.optimizer.default.args.lr", 0.1, create=True)
+    for key, value in (extra or {}).items():
+        config.set(key, value, create=True)
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    return TrainingJob.create(config, dataset)
+
+
+@pytest.mark.parametrize("train_type", TRAIN_TYPES)
+def test_one_epoch_runs(train_type):
+    job = _make_job(train_type)
+    trace = job.run()
+    assert trace["epoch"] == 1
+    assert np.isfinite(trace["avg_loss"])
+    assert np.isfinite(trace["avg_cost"])
+
+
+@pytest.mark.parametrize("train_type", TRAIN_TYPES)
+def test_subbatch_invariance(train_type):
+    """Forward-only loss must be identical with and without subbatching
+    (reference: tests/test_train.py:33-53)."""
+    losses = []
+    for subbatch in (-1, 3):
+        config = create_config("dataset_test", model="complex")
+        config.set("train.type", train_type)
+        config.set("train.batch_size", 6)
+        config.set("train.subbatch_size", subbatch)
+        config.set("lookup_embedder.dim", 16)
+        config.set("random_seed.default", 99)
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        job = TrainingJob.create(config, dataset, forward_only=True)
+        job._prepare()
+        job._is_prepared = True
+        job.epoch = 1
+        trace = job.run_epoch()
+        losses.append(trace["avg_loss"])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
+def test_negative_sampling_variants():
+    for extra in [
+        {"negative_sampling.implementation": "triple"},
+        {"negative_sampling.implementation": "all"},
+        {"negative_sampling.implementation": "batch"},
+        {"negative_sampling.shared": True,
+         "negative_sampling.implementation": "batch"},
+        {"negative_sampling.sampling_type": "frequency"},
+        {"negative_sampling.filtering.o": True,
+         "negative_sampling.filtering.s": True},
+    ]:
+        job = _make_job("negative_sampling", extra=extra)
+        trace = job.run()
+        assert np.isfinite(trace["avg_loss"]), extra
+
+
+def test_losses_all_train():
+    for loss in ["bce", "kl", "margin_ranking", "soft_margin", "se",
+                 "bce_mean", "bce_self_adversarial"]:
+        job = _make_job("negative_sampling", extra={"train.loss": loss})
+        trace = job.run()
+        assert np.isfinite(trace["avg_loss"]), loss
+
+
+def test_weighted_regularization_and_scheduler():
+    job = _make_job(
+        "negative_sampling",
+        extra={
+            "lookup_embedder.regularize_weight": 0.01,
+            "lookup_embedder.regularize_args.weighted": True,
+            "train.lr_scheduler": "ExponentialLR",
+            "train.lr_scheduler_args.gamma": 0.9,
+            "train.max_epochs": 2,
+        },
+    )
+    trace = job.run()
+    assert np.isfinite(trace["avg_cost"])
+    assert trace["avg_penalty"] > 0
