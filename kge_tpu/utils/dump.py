@@ -1,0 +1,211 @@
+"""``kge dump {trace, checkpoint, config}`` (reference: kge/util/dump.py).
+
+- trace: filter trace.yaml records (train/eval/search scopes, epoch
+  bounds, resumed-job chains) and emit CSV or YAML with the default
+  column set plus user-requested keys
+- checkpoint: print checkpoint metadata as YAML, weights elided
+- config: print a job's configuration raw / full / minus-default
+"""
+
+from __future__ import annotations
+
+import csv as csv_module
+import io
+import os
+import sys
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+from kge_tpu.config import Config
+from kge_tpu.utils.io import load_checkpoint
+
+DEFAULT_TRACE_KEYS = [
+    "job_id", "dataset", "model", "reciprocal", "job", "split", "epoch",
+    "avg_loss", "avg_penalty", "avg_cost", "metric_name", "metric",
+]
+
+
+def add_dump_parsers(parser):
+    sub = parser.add_subparsers(dest="dump_command")
+    sub.required = True
+
+    p = sub.add_parser("trace", help="Dump trace to CSV/YAML")
+    p.add_argument("source", type=str, help="job folder or trace file")
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--valid", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--search", action="store_true")
+    p.add_argument("--yaml", action="store_true")
+    p.add_argument("--keysfile", type=str, default=None)
+    p.add_argument("--keys", nargs="*", default=None)
+    p.add_argument("--max-epoch", type=int, default=None)
+    p.add_argument("--example", action="store_true")
+    p.add_argument("--batch", action="store_true")
+
+    p = sub.add_parser("checkpoint", help="Dump checkpoint metadata")
+    p.add_argument("source", type=str)
+    p.add_argument("--keys", nargs="*", default=None)
+
+    p = sub.add_parser("config", help="Dump a job's configuration")
+    p.add_argument("source", type=str)
+    p.add_argument("--raw", action="store_true")
+    p.add_argument("--full", action="store_true")
+    p.add_argument("--minimal", action="store_true")
+
+
+def dump(args):
+    if args.dump_command == "trace":
+        dump_trace(args)
+    elif args.dump_command == "checkpoint":
+        dump_checkpoint(args)
+    elif args.dump_command == "config":
+        dump_config(args)
+
+
+def _resolve_trace_file(source: str) -> str:
+    if os.path.isfile(source):
+        return source
+    path = os.path.join(source, "trace.yaml")
+    if os.path.isfile(path):
+        return path
+    raise FileNotFoundError(f"no trace found at {source}")
+
+
+def read_trace(trace_file: str, filters: Optional[Dict[str, Any]] = None
+               ) -> List[Dict[str, Any]]:
+    entries = []
+    with open(trace_file, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            entry = yaml.safe_load(line)
+            if filters and any(
+                entry.get(k) != v for k, v in filters.items()
+            ):
+                continue
+            entries.append(entry)
+    return entries
+
+
+def dump_trace(args):
+    trace_file = _resolve_trace_file(args.source)
+    entries = read_trace(trace_file)
+
+    # scope filtering (default: epoch-level train + eval entries)
+    wanted_jobs = set()
+    if args.train:
+        wanted_jobs.add("train")
+    if args.valid or args.test:
+        wanted_jobs.add("eval")
+    if args.search:
+        wanted_jobs.add("search")
+    if not wanted_jobs:
+        wanted_jobs = {"train", "eval", "search"}
+    scopes = {"epoch", "train", "search"}
+    if args.example:
+        scopes.add("example")
+    if args.batch:
+        scopes.add("batch")
+
+    selected = []
+    for e in entries:
+        if e.get("job") not in wanted_jobs:
+            continue
+        if e.get("scope") not in scopes:
+            continue
+        if args.max_epoch is not None and (e.get("epoch") or 0) > args.max_epoch:
+            continue
+        if args.valid and e.get("job") == "eval" and e.get("split") not in (
+            "valid", None
+        ):
+            continue
+        if args.test and e.get("job") == "eval" and e.get("split") != "test":
+            continue
+        selected.append(e)
+
+    keys = list(DEFAULT_TRACE_KEYS)
+    if args.keysfile:
+        with open(args.keysfile) as f:
+            keys += [ln.strip() for ln in f if ln.strip()]
+    if args.keys:
+        keys += args.keys
+
+    if args.yaml:
+        for e in selected:
+            print(yaml.dump(e, default_flow_style=True, width=float("inf"))
+                  .strip())
+        return
+    writer = csv_module.writer(sys.stdout)
+    writer.writerow(keys)
+    for e in selected:
+        row = []
+        for k in keys:
+            if k == "metric_name":
+                row.append(e.get("metric_name", ""))
+            elif k == "metric":
+                # common metric shorthand
+                row.append(
+                    e.get("mean_reciprocal_rank_filtered_with_test",
+                          e.get("mean_reciprocal_rank_filtered", ""))
+                )
+            else:
+                row.append(e.get(k, ""))
+        writer.writerow(row)
+
+
+def dump_checkpoint(args):
+    checkpoint = load_checkpoint(args.source)
+    excluded = {"model", "opt_state", "rng"}
+    out = {}
+    for key, value in checkpoint.items():
+        if args.keys and key not in args.keys:
+            continue
+        if key in excluded:
+            continue
+        if key == "config":
+            out["config"] = value.options if isinstance(value, Config) else value
+        else:
+            out[key] = value
+    if "model" in checkpoint and (not args.keys or "parameter_names" in args.keys):
+        import jax
+
+        names = [
+            ".".join(str(getattr(p, "key", p)) for p in path)
+            for path, _ in jax.tree_util.tree_flatten_with_path(
+                checkpoint["model"]["params"]
+            )[0]
+        ]
+        out["parameter_names"] = names
+    print(yaml.dump(out, default_flow_style=False))
+
+
+def dump_config(args):
+    source = args.source
+    if os.path.isdir(source):
+        source = os.path.join(source, "config.yaml")
+    if source.endswith(".pt"):
+        checkpoint = load_checkpoint(source)
+        config = Config.create_from(checkpoint)
+        raw_options = config.options
+    else:
+        with open(source) as f:
+            raw_options = yaml.safe_load(f)
+    if args.raw:
+        print(yaml.dump(raw_options, default_flow_style=False))
+        return
+    config = Config()
+    config.load_options(dict(raw_options), create=True)
+    if args.full or not args.minimal:
+        print(yaml.dump(config.options, default_flow_style=False))
+        return
+    # minimal: only keys that differ from the defaults
+    default = Config()
+    flat_default = Config.flatten(default.options)
+    flat = Config.flatten(config.options)
+    diff = {
+        k: v for k, v in flat.items()
+        if flat_default.get(k, "<ABSENT>") != v
+    }
+    print(yaml.dump(diff, default_flow_style=False))

@@ -1,0 +1,98 @@
+"""End-to-end CLI tests: start -> resume -> test -> dump -> package."""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, **kw):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "kge_tpu"] + args,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300, **kw
+    )
+
+
+@pytest.fixture(scope="module")
+def trained_folder(tmp_path_factory):
+    folder = str(tmp_path_factory.mktemp("toy-run"))
+    os.rmdir(folder)
+    r = _run([
+        "start", "examples/toy-complex-train.yaml",
+        "--folder", folder,
+        "--job.device", "cpu",
+        "--train.max_epochs", "2",
+        "--valid.every", "2",
+        "--lookup_embedder.dim", "16",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    return folder
+
+
+def test_start_creates_artifacts(trained_folder):
+    assert os.path.isfile(os.path.join(trained_folder, "config.yaml"))
+    assert os.path.isfile(os.path.join(trained_folder, "trace.yaml"))
+    assert os.path.isfile(os.path.join(trained_folder, "kge.log"))
+    assert os.path.isfile(
+        os.path.join(trained_folder, "checkpoint_00002.pt")
+    )
+    assert os.path.isfile(os.path.join(trained_folder, "checkpoint_best.pt"))
+
+
+def test_resume_continues(trained_folder):
+    r = _run([
+        "resume", trained_folder,
+        "--job.device", "cpu",
+        "--train.max_epochs", "3",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.isfile(
+        os.path.join(trained_folder, "checkpoint_00003.pt")
+    )
+
+
+def test_eval_test_split(trained_folder):
+    r = _run(["test", trained_folder, "--job.device", "cpu"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "mean_reciprocal_rank_filtered" in r.stdout
+
+
+def test_dump_trace_and_config(trained_folder):
+    r = _run(["dump", "trace", trained_folder])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "epoch" in r.stdout.splitlines()[0]
+    r = _run(["dump", "config", trained_folder, "--minimal"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "model: complex" in r.stdout
+    r = _run([
+        "dump", "checkpoint",
+        os.path.join(trained_folder, "checkpoint_best.pt"),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "parameter_names" in r.stdout
+
+
+def test_package_and_load(trained_folder):
+    out = os.path.join(trained_folder, "model.pt")
+    r = _run([
+        "package", os.path.join(trained_folder, "checkpoint_best.pt"),
+        "--file", out,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.isfile(out)
+    # loadable for applications
+    from kge_tpu.utils.io import load_checkpoint
+    from kge_tpu.models import KgeModel
+    import jax.numpy as jnp
+    import numpy as np
+
+    checkpoint = load_checkpoint(out)
+    model, params, state = KgeModel.create_from(checkpoint)
+    scores = model.score_sp(params, jnp.asarray([0]), jnp.asarray([0]))
+    assert np.asarray(scores).shape == (1, model.dataset.num_entities())
