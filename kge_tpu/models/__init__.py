@@ -34,3 +34,11 @@ from kge_tpu.models.embedder import (
     ProjectionEmbedder,
     Tucker3RelationEmbedder,
 )
+from kge_tpu.models.rgnn import (
+    CompGCN,
+    KgeRgnnModel,
+    RAGAT,
+    RGCN,
+    RgnnEncoder,
+    WGCN,
+)

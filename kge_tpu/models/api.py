@@ -49,6 +49,10 @@ class Ctx:
         self.rng = rng
         self.state = state if state is not None else {}
         self.updates: Dict[str, Any] = {}
+        # trace-time memo (e.g. GNN encoder output shared across the
+        # score calls of one step — the functional form of the
+        # reference's stale-embeddings caching)
+        self.cache: Dict[str, Any] = {}
 
     def take_rng(self) -> jax.Array:
         if self.rng is None:

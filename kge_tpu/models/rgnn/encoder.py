@@ -1,0 +1,413 @@
+"""R-GNN encoder stack and encoder-decoder model (reference:
+kge/model/embedder/rgnn_encoder.py:1002-1328 and
+kge/model/kge_model.py:774-1066).
+
+The encoder runs the GNN over the whole training graph and the decoder
+scorer consumes the contextualized embeddings. Functional re-design:
+
+- the graph lives in host numpy buffers on the encoder (rebuilt on
+  per-epoch graph sampling) and enters the compiled step as constants
+- ``use_stale_embeddings`` (the reference's cached-forward +
+  retain_graph trick, rgnn_encoder.py:1241-1267) becomes a trace-time
+  memo in Ctx: the encoder output is computed once per compiled step and
+  shared by all loss terms, and the gradient of the summed loss through
+  the single encoder forward is exactly the math the reference gets from
+  retained autograd graphs
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kge_tpu.config import Config
+from kge_tpu.dataset import Dataset
+from kge_tpu.models.api import Ctx, KgeBase, KgeModel
+from kge_tpu.models.rgnn.layers import (
+    MessagePassingLayer,
+    RgcnLayer,
+    WeightedGCNLayer,
+)
+
+_ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "elu": jax.nn.elu,
+    "gelu": jax.nn.gelu,
+    "identity": lambda x: x,
+}
+
+
+def _bucket_pow2(n: int) -> int:
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+def build_graph_buffers(triples: np.ndarray, num_relations: int,
+                        per_relation: bool) -> Dict[str, np.ndarray]:
+    """Edge buffers (+ inverse edges with offset relation ids) and, for
+    per-relation layers, padded relation buckets for lax.scan."""
+    fwd = triples[:, [0, 2]].T.astype(np.int32)
+    edge_index = np.concatenate([fwd, fwd[::-1]], axis=1)
+    edge_type = np.concatenate(
+        [triples[:, 1], triples[:, 1] + num_relations]
+    ).astype(np.int32)
+    graph: Dict[str, np.ndarray] = {
+        "edge_index": np.ascontiguousarray(edge_index),
+        "edge_type": edge_type,
+    }
+    if per_relation:
+        rels, counts = np.unique(edge_type, return_counts=True)
+        emax = _bucket_pow2(int(counts.max())) if len(counts) else 1
+        buckets = np.full((len(rels), emax), -1, dtype=np.int32)
+        order = np.argsort(edge_type, kind="stable")
+        start = 0
+        for i, (rel, c) in enumerate(zip(rels, counts)):
+            buckets[i, :c] = order[start : start + c]
+            start += c
+        graph["rel_buckets"] = buckets
+        graph["rel_bucket_ids"] = rels.astype(np.int32)
+    return graph
+
+
+class Rgnn(KgeBase):
+    """Stack of R-GNN layers (reference: rgnn_encoder.py:1002-1205)."""
+
+    def __init__(self, config: Config, dataset: Dataset,
+                 configuration_key: str, dim: int):
+        super().__init__(config, dataset, configuration_key)
+        num_layers = self.get_option("num_layers")
+        act_key = self.get_option("activation")
+        if act_key not in _ACTIVATIONS:
+            raise ValueError(f"invalid activation {act_key}")
+        self.activation = _ACTIVATIONS[act_key]
+        self.emb_entity_dropout = self.get_option("emb_entity_dropout")
+        self.layer_type = self.check_option(
+            "layer_type", ["message_passing", "torch_rgcn", "weighted_gcn"]
+        )
+        options = {
+            "weight_init": self.get_option("weight_init"),
+            "bias": self.get_option("bias"),
+            "bias_init": self.get_option("bias_init"),
+            "edge_dropout": self.get_option("edge_dropout"),
+            "self_edge_dropout": self.get_option("self_edge_dropout"),
+            "rel_transformation": self.get_option("rel_transformation"),
+            "weight_decomposition": str(self.get_option("weight_decomposition")),
+            "num_blocks_or_bases": self.get_option("num_blocks_or_bases"),
+            "message_passing_args": {
+                "propagation": self.get_option("message_passing_args.propagation"),
+                "composition": self.get_option("message_passing_args.composition"),
+                "message_weight": self.get_option(
+                    "message_passing_args.message_weight"),
+                "learned_relation_weight": self.get_option(
+                    "message_passing_args.learned_relation_weight"),
+                "edge_norm": self.get_option("message_passing_args.edge_norm"),
+                "emb_propagation_dropout": self.get_option(
+                    "message_passing_args.emb_propagation_dropout"),
+                "attention": self.get_option("message_passing_args.attention"),
+                "num_heads": self.get_option("message_passing_args.num_heads"),
+            },
+            "torch_rgcn_args": {
+                "vertical_stacking": self.get_option(
+                    "torch_rgcn_args.vertical_stacking"),
+            },
+        }
+        self.layers = []
+        in_dim = dim
+        for i in range(num_layers):
+            try:
+                out_dim = self.get_option(f"{i + 1}_out_dim")
+                if out_dim < 0:
+                    out_dim = in_dim
+            except KeyError:
+                out_dim = in_dim
+            name = f"{configuration_key}.layer{i}"
+            if self.layer_type == "message_passing":
+                layer = MessagePassingLayer(
+                    name, config, dataset, in_dim, out_dim, options,
+                    first_layer=(i == 0),
+                )
+            elif self.layer_type == "torch_rgcn":
+                layer = RgcnLayer(name, config, dataset, in_dim, out_dim,
+                                  options)
+            else:
+                layer = WeightedGCNLayer(name, config, dataset, in_dim,
+                                         out_dim, options)
+            self.layers.append(layer)
+            in_dim = out_dim
+        self.out_dim = in_dim
+
+    @property
+    def needs_rel_buckets(self) -> bool:
+        return self.layer_type == "torch_rgcn" or any(
+            isinstance(l, MessagePassingLayer)
+            and l.propagation.startswith("per_relation")
+            for l in self.layers
+        )
+
+    def init_params(self, rng) -> Dict[str, Any]:
+        keys = jax.random.split(rng, len(self.layers))
+        return {"layers": [l.init_params(k) for l, k in zip(self.layers, keys)]}
+
+    def init_state(self) -> Dict[str, Any]:
+        state: Dict[str, Any] = {}
+        for l in self.layers:
+            state.update(l.init_state())
+        return state
+
+    def apply(self, params, x, r, graph, ctx: Ctx):
+        for layer, layer_params in zip(self.layers, params["layers"]):
+            if self.layer_type == "torch_rgcn":
+                x = self.activation(x)  # rgcn activates before the layer
+            x, r = layer.apply(layer_params, x, r, graph, ctx)
+            if self.layer_type in ("message_passing", "weighted_gcn"):
+                x = self.activation(x)
+            x = ctx.dropout(x, self.emb_entity_dropout)
+        return x, r
+
+
+class RgnnEncoder(KgeBase):
+    """Runs the GNN over the whole graph and selects batch rows
+    (reference: rgnn_encoder.py:1208-1328)."""
+
+    def __init__(self, config: Config, dataset: Dataset,
+                 configuration_key: str, entity_embedder, relation_embedder,
+                 reciprocal_scorer: bool = False, init_for_load_only=False):
+        super().__init__(config, dataset, configuration_key)
+        self.entity_embedder = entity_embedder
+        self.relation_embedder = relation_embedder
+        self.reciprocal_scorer = reciprocal_scorer
+        self.rgnn = Rgnn(config, dataset, configuration_key,
+                         entity_embedder.dim)
+        self.use_stale_embeddings = self.get_option("use_stale_embeddings")
+        self._graph_np: Optional[Dict[str, np.ndarray]] = None
+        self.set_graph(None)
+
+    def set_graph(self, triples: Optional[np.ndarray]):
+        """(Re)build edge buffers; None means the full training split."""
+        if triples is None:
+            triples = self.dataset.split(self.config.get("train.split"))
+        self._graph_np = build_graph_buffers(
+            np.asarray(triples), self.dataset.num_relations(),
+            self.rgnn.needs_rel_buckets,
+        )
+
+    def graph(self) -> Dict[str, jnp.ndarray]:
+        return {k: jnp.asarray(v) for k, v in self._graph_np.items()}
+
+    def init_params(self, rng):
+        return self.rgnn.init_params(rng)
+
+    def init_state(self):
+        return self.rgnn.init_state()
+
+    def encode(self, params, ctx: Ctx) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """All contextualized entity + relation embeddings. With stale
+        embeddings the forward is shared across all score calls of the
+        current compiled step via the Ctx memo."""
+        cache_key = f"{self.configuration_key}.encoded"
+        if self.use_stale_embeddings and cache_key in ctx.cache:
+            return ctx.cache[cache_key]
+        x = self.entity_embedder.embed_all(params["entity_embedder"], ctx)
+        r = self.relation_embedder.embed_all(params["relation_embedder"], ctx)
+        x, r = self.rgnn.apply(params["encoder"], x, r, self.graph(), ctx)
+        if not self.reciprocal_scorer:
+            r = r[: self.dataset.num_relations()]
+        ctx.cache[cache_key] = (x, r)
+        return x, r
+
+    def prepare_job(self, job, **kwargs):
+        pass
+
+
+class KgeRgnnModel(KgeModel):
+    """Encoder-decoder composition: embedders -> R-GNN -> decoder scorer
+    (reference: kge/model/kge_model.py:774-1066)."""
+
+    def __init__(self, config: Config, dataset: Dataset,
+                 configuration_key=None, init_for_load_only=False):
+        self._init_configuration(config, configuration_key)
+        self.orig_num_relations = dataset.num_relations()
+
+        # embedders over the doubled relation vocabulary (inverse edges)
+        alt_dataset = dataset.shallow_copy()
+        alt_dataset._num_relations = self.orig_num_relations * 2
+        alt_dataset._meta = dict(dataset._meta)
+        try:
+            rel_ids = list(dataset.relation_ids())
+            alt_dataset._meta["relation_ids"] = rel_ids + [
+                f"{r}_reciprocal" for r in rel_ids
+            ]
+        except Exception:
+            pass
+        super().__init__(
+            config, alt_dataset, scorer=None, create_embedders=True,
+            configuration_key=self.configuration_key,
+            init_for_load_only=init_for_load_only,
+        )
+        decoder_model = config.get(self.configuration_key + ".decoder.model")
+        self.reciprocal_scorer = decoder_model == "reciprocal_relations_model"
+
+        # build the decoder model to obtain its scorer
+        self._decoder = KgeModel.create(
+            config, dataset,
+            configuration_key=self.configuration_key + ".decoder",
+            init_for_load_only=init_for_load_only,
+        )
+        self._scorer = self._decoder.get_scorer()
+
+        from kge_tpu.models.conve import ConvEScorer
+
+        if isinstance(self._scorer, ConvEScorer):
+            # the GNN's last layer must emit ConvE-sized entity embeddings
+            scorer_dim = self._decoder.get_s_embedder().dim
+            num_layers = config.get(
+                self.configuration_key + ".encoder.num_layers"
+            )
+            config.set(
+                f"{self.configuration_key}.encoder.{num_layers}_out_dim",
+                scorer_dim, create=True,
+            )
+            rel_transform = config.get(
+                self.configuration_key + ".encoder.rel_transformation"
+            )
+            if rel_transform == "self":
+                # untransformed relations must already be ConvE-sized
+                self._relation_embedder = self._decoder.get_p_embedder()
+
+        self._encoder = RgnnEncoder(
+            config, dataset,
+            configuration_key=self.configuration_key + ".encoder",
+            entity_embedder=self._entity_embedder,
+            relation_embedder=self._relation_embedder,
+            reciprocal_scorer=self.reciprocal_scorer,
+            init_for_load_only=init_for_load_only,
+        )
+
+    # ------------------------------------------------------------------ params
+
+    def init_params(self, rng):
+        r_ent, r_rel, r_sc, r_enc = jax.random.split(rng, 4)
+        return {
+            "entity_embedder": self._entity_embedder.init_params(r_ent),
+            "relation_embedder": self._relation_embedder.init_params(r_rel),
+            "scorer": self._scorer.init_params(r_sc),
+            "encoder": self._encoder.init_params(r_enc),
+        }
+
+    def init_state(self):
+        return {**self._scorer.init_state(), **self._encoder.init_state()}
+
+    def get_rgnn_encoder(self) -> RgnnEncoder:
+        return self._encoder
+
+    def set_graph(self, triples):
+        self._encoder.set_graph(triples)
+
+    def prepare_job(self, job, **kwargs):
+        super().prepare_job(job, **kwargs)
+        self._encoder.prepare_job(job, **kwargs)
+
+    # ------------------------------------------------------------------ scoring
+
+    def _encode(self, params, ctx: Ctx):
+        return self._encoder.encode(params, ctx)
+
+    def score_spo(self, params, s, p, o, direction=None, ctx=None):
+        ctx = ctx or Ctx()
+        if self.reciprocal_scorer:
+            if direction == "s":
+                p = p + self.orig_num_relations
+            elif direction != "o":
+                raise ValueError(
+                    "reciprocal decoders cannot score undirected spo"
+                )
+        x, r = self._encode(params, ctx)
+        s_emb = jnp.take(x, s, axis=0)
+        p_emb = jnp.take(r, p, axis=0)
+        o_emb = jnp.take(x, o, axis=0)
+        return self._scorer.score_emb_spo(
+            params["scorer"], s_emb, p_emb, o_emb, ctx
+        )
+
+    def score_sp(self, params, s, p, o_subset=None, ctx=None):
+        ctx = ctx or Ctx()
+        x, r = self._encode(params, ctx)
+        s_emb = jnp.take(x, s, axis=0)
+        p_emb = jnp.take(r, p, axis=0)
+        o_emb = x if o_subset is None else jnp.take(x, o_subset, axis=0)
+        return self._scorer.score_emb(
+            params["scorer"], s_emb, p_emb, o_emb, "sp_", ctx
+        )
+
+    def score_po(self, params, p, o, s_subset=None, ctx=None):
+        ctx = ctx or Ctx()
+        x, r = self._encode(params, ctx)
+        s_emb = x if s_subset is None else jnp.take(x, s_subset, axis=0)
+        o_emb = jnp.take(x, o, axis=0)
+        if self.reciprocal_scorer:
+            p_emb = jnp.take(r, p + self.orig_num_relations, axis=0)
+            return self._scorer.score_emb(
+                params["scorer"], o_emb, p_emb, s_emb, "sp_", ctx
+            )
+        p_emb = jnp.take(r, p, axis=0)
+        return self._scorer.score_emb(
+            params["scorer"], s_emb, p_emb, o_emb, "_po", ctx
+        )
+
+    def score_so(self, params, s, o, p_subset=None, ctx=None):
+        if self.reciprocal_scorer:
+            raise ValueError("reciprocal decoders cannot score relations")
+        ctx = ctx or Ctx()
+        x, r = self._encode(params, ctx)
+        s_emb = jnp.take(x, s, axis=0)
+        o_emb = jnp.take(x, o, axis=0)
+        p_emb = r if p_subset is None else jnp.take(r, p_subset, axis=0)
+        return self._scorer.score_emb(
+            params["scorer"], s_emb, p_emb, o_emb, "s_o", ctx
+        )
+
+    def score_sp_po(self, params, s, p, o, entity_subset=None, ctx=None):
+        ctx = ctx or Ctx()
+        x, r = self._encode(params, ctx)
+        s_emb = jnp.take(x, s, axis=0)
+        o_emb = jnp.take(x, o, axis=0)
+        ents = x if entity_subset is None else jnp.take(x, entity_subset, axis=0)
+        p_emb = jnp.take(r, p, axis=0)
+        if self.reciprocal_scorer:
+            p_inv = jnp.take(r, p + self.orig_num_relations, axis=0)
+            sp_scores = self._scorer.score_emb(
+                params["scorer"], s_emb, p_emb, ents, "sp_", ctx
+            )
+            po_scores = self._scorer.score_emb(
+                params["scorer"], o_emb, p_inv, ents, "sp_", ctx
+            )
+        else:
+            sp_scores = self._scorer.score_emb(
+                params["scorer"], s_emb, p_emb, ents, "sp_", ctx
+            )
+            po_scores = self._scorer.score_emb(
+                params["scorer"], ents, p_emb, o_emb, "_po", ctx
+            )
+        return jnp.concatenate([sp_scores, po_scores], axis=1)
+
+
+class RGCN(KgeRgnnModel):
+    pass
+
+
+class WGCN(KgeRgnnModel):
+    pass
+
+
+class CompGCN(KgeRgnnModel):
+    pass
+
+
+class RAGAT(KgeRgnnModel):
+    pass

@@ -1,0 +1,613 @@
+"""Relational GNN layers, re-designed for XLA (reference:
+kge/model/embedder/rgnn_encoder.py).
+
+TPU-native formulation of the reference's three layer families:
+
+- ``MessagePassingLayer`` (CompGCN/RAGAT style): gather neighbor +
+  relation embeddings, compose, transform with a per-mode weight, and
+  ``segment_sum`` back to nodes. Edge/self-edge dropout become 0/1 edge
+  *masks* folded into the messages (mathematically identical to the
+  reference's index slicing, but static-shape); per-relation weights
+  (basis/block decompositions) run as a ``lax.scan`` over host-built
+  padded relation buckets — one MXU matmul per relation instead of the
+  reference's sparse kernels.
+- ``RgcnLayer`` (torch-rgcn style): A_r X W_r summed over relations with
+  (rel, node)-degree normalization; vertical/horizontal stacking reduces
+  to the choice of normalization key.
+- ``WeightedGCNLayer`` (W-GCN/SACN): per-relation scalar alpha collapses
+  the relational adjacency to one symmetric matrix; one matmul + two
+  segment sums.
+
+Batch-norm running statistics live in the Ctx state collections.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kge_tpu.models.api import Ctx
+from kge_tpu.models.init import initialize
+from kge_tpu.ops.segment import (
+    composition_fn,
+    degree_norm,
+    schlichtkrull_normal_,
+    schlichtkrull_uniform_,
+    segment_sum,
+    wgcn_uniform_,
+)
+
+
+def init_weight(rng, shape, init_name: str, fans=None):
+    """Initializer lookup covering torch.nn.init names plus the RGCN/WGCN
+    schemes (reference: rgnn_encoder.py _find_init)."""
+    if init_name == "schlichtkrull_normal_":
+        return schlichtkrull_normal_(rng, shape, fans=fans)
+    if init_name == "schlichtkrull_uniform_":
+        return schlichtkrull_uniform_(rng, shape, fans=fans)
+    if init_name == "wgcn_uniform_":
+        return wgcn_uniform_(rng, shape)
+    return initialize(rng, shape, init_name, {})
+
+
+def batch_norm_affine(x, params, state_key: str, ctx: Ctx,
+                      momentum: float = 0.1, eps: float = 1e-5):
+    """BatchNorm1d with torch semantics, affine scale/bias from params."""
+    state = ctx.state[state_key]
+    if ctx.train:
+        mean = jnp.mean(x, axis=0)
+        var = jnp.var(x, axis=0)
+        n = x.shape[0]
+        unbiased = var * n / max(n - 1, 1)
+        ctx.updates[state_key] = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+    x = (x - mean) / jnp.sqrt(var + eps)
+    return x * params["bn_scale"] + params["bn_bias"]
+
+
+class RgnnLayerBase:
+    """Shared bits: dims, init names, edge/self-edge dropout masks."""
+
+    def __init__(self, name: str, config, dataset, in_dim: int, out_dim: int,
+                 options: Dict[str, Any]):
+        self.name = name
+        self.config = config
+        self.num_entities = dataset.num_entities()
+        self.num_base_relations = dataset.num_relations()
+        self.in_dim = in_dim
+        self.out_dim = out_dim
+        self.weight_init = options["weight_init"]
+        self.bias_ = options["bias"]
+        self.bias_init = options.get("bias_init", "zeros_")
+        self.edge_dropout = options["edge_dropout"]
+        self.self_edge_dropout = options["self_edge_dropout"]
+
+    def _edge_masks(self, ctx: Ctx, num_edges: int, dtype):
+        """0/1 keep-masks for edges (correlated across the direct/inverse
+        halves, reference: rgnn_encoder.py:504-511) and self-loops."""
+        if ctx.train and self.edge_dropout > 0:
+            half = jax.random.bernoulli(
+                ctx.take_rng(), 1.0 - self.edge_dropout, (num_edges // 2,)
+            )
+            edge_mask = jnp.concatenate([half, half]).astype(dtype)
+        else:
+            edge_mask = jnp.ones(num_edges, dtype)
+        if ctx.train and self.self_edge_dropout > 0:
+            self_mask = jax.random.bernoulli(
+                ctx.take_rng(), 1.0 - self.self_edge_dropout,
+                (self.num_entities,),
+            ).astype(dtype)
+        else:
+            self_mask = jnp.ones(self.num_entities, dtype)
+        return edge_mask, self_mask
+
+    def init_state(self) -> Dict[str, Any]:
+        return {}
+
+
+class MessagePassingLayer(RgnnLayerBase):
+    """CompGCN/RAGAT-style layer (reference: rgnn_encoder.py:15-598)."""
+
+    def __init__(self, name, config, dataset, in_dim, out_dim, options,
+                 first_layer: bool):
+        super().__init__(name, config, dataset, in_dim, out_dim, options)
+        self.num_relations = dataset.num_relations() * 2  # with inverses
+        mp = options["message_passing_args"]
+        self.propagation = mp["propagation"]
+        self.message_weight = mp["message_weight"]
+        self.learned_relation_weight = mp["learned_relation_weight"]
+        self.use_edge_norm = mp["edge_norm"]
+        self.prop_dropout = mp["emb_propagation_dropout"]
+        self.attention = mp["attention"]
+        self.num_heads = mp["num_heads"] if self.attention else 1
+        composition = mp["composition"]
+        if self.message_weight and not composition.endswith("weighted"):
+            composition += "_weighted"
+        if composition.endswith("weighted"):
+            self.message_weight = True
+        self.composition = composition_fn(composition)
+        self.rel_transformation = options["rel_transformation"]
+        self.weight_decomposition = options["weight_decomposition"]
+        self.num_blocks_or_bases = options["num_blocks_or_bases"]
+        # relation basis decomposition applies to the first layer only
+        if self.weight_decomposition == "relation_basis" and not first_layer:
+            self.weight_decomposition = "None"
+        if self.weight_decomposition in ("basis", "block"):
+            if self.propagation != "per_relation":
+                raise RuntimeError(
+                    "weight decomposition requires per_relation propagation"
+                )
+            self.propagation = f"per_relation_{self.weight_decomposition}"
+        if self.attention:
+            self.use_edge_norm = False
+        if self.propagation in ("single",):
+            self.modes = [""]
+            self.self_edge_weight = False
+        elif self.propagation == "single_with_self_edge_weight":
+            self.modes = ["", "loop"]
+            self.self_edge_weight = True
+        elif self.propagation == "direction":
+            self.modes = ["in", "out", "loop"]
+            self.self_edge_weight = True
+        elif self.propagation.startswith("per_relation"):
+            self.modes = ["per_relation", "loop"]
+            self.self_edge_weight = True
+        else:
+            raise NotImplementedError(
+                f"propagation type {self.propagation} not supported"
+            )
+
+    # ------------------------------------------------------------------ params
+
+    def init_params(self, rng) -> Dict[str, Any]:
+        params: Dict[str, Any] = {}
+        keys = iter(jax.random.split(rng, 64))
+        if self.bias_:
+            params["bias"] = init_weight(
+                next(keys), (self.out_dim,), self.bias_init
+            )
+        if not self.propagation.startswith("per_relation"):
+            params["bn_scale"] = jnp.ones(self.out_dim)
+            params["bn_bias"] = jnp.zeros(self.out_dim)
+        params["loop_rel"] = init_weight(
+            next(keys), (1, self.in_dim), self.weight_init
+        )
+        if self.rel_transformation == "linear":
+            params["w_rel"] = init_weight(
+                next(keys), (self.in_dim, self.out_dim), self.weight_init
+            )
+        if self.learned_relation_weight:
+            params["alpha"] = init_weight(
+                next(keys), (self.num_relations + 1, 1), "normal_"
+            )
+        if self.weight_decomposition == "relation_basis":
+            b = self.num_blocks_or_bases
+            if b < 1:
+                raise ValueError("relation_basis needs >= 1 basis")
+            params["basis_vectors"] = init_weight(
+                next(keys), (b, self.in_dim), self.weight_init
+            )
+            params["relation_basis_weights"] = init_weight(
+                next(keys), (self.num_relations, b), self.weight_init
+            )
+        if self.propagation == "per_relation_basis":
+            b = self.num_blocks_or_bases
+            params["bases"] = init_weight(
+                next(keys), (b, self.in_dim, self.out_dim), self.weight_init
+            )
+            params["comps"] = init_weight(
+                next(keys), (self.num_relations, b), self.weight_init
+            )
+            params["w_loop"] = init_weight(
+                next(keys), (self.in_dim, self.out_dim), self.weight_init
+            )
+        elif self.propagation == "per_relation_block":
+            nb = self.num_blocks_or_bases
+            bi, ri = divmod(self.in_dim, nb)
+            bo, ro = divmod(self.out_dim, nb)
+            if ri or ro:
+                raise RuntimeError("weight dims not divisible by blocks")
+            fans = [self.num_relations // 2, bi]
+            params["w_blocks"] = schlichtkrull_normal_(
+                next(keys), (self.num_relations, nb, bi, bo), fans=fans
+            )
+            params["w_loop"] = schlichtkrull_normal_(
+                next(keys), (self.in_dim, self.out_dim), fans=fans
+            )
+        else:
+            for head in range(self.num_heads):
+                for mode in self.modes:
+                    params[f"w_{mode}_h{head}"] = init_weight(
+                        next(keys), (self.in_dim, self.out_dim),
+                        self.weight_init,
+                    )
+        for head in range(self.num_heads):
+            if self.message_weight:
+                params[f"w_msgweight_h{head}"] = init_weight(
+                    next(keys), (self.num_relations + 1, self.in_dim),
+                    self.weight_init,
+                )
+            if self.attention:
+                params[f"w_att_h{head}"] = init_weight(
+                    next(keys), (self.out_dim, 1), self.weight_init
+                )
+        return params
+
+    def init_state(self):
+        if not self.propagation.startswith("per_relation"):
+            return {
+                f"{self.name}_bn": {
+                    "mean": jnp.zeros(self.out_dim),
+                    "var": jnp.ones(self.out_dim),
+                }
+            }
+        return {}
+
+    # ------------------------------------------------------------------ forward
+
+    def _edge_messages(self, params, x, r_full, src, nbr, types, mask,
+                       weight, head: int, is_loop: bool,
+                       norm: Optional[jnp.ndarray], ctx: Ctx) -> jnp.ndarray:
+        """Per-edge messages: compose, transform, weight, mask."""
+        h_i = jnp.take(x, src, axis=0)
+        h_j = jnp.take(x, nbr, axis=0)
+        h_r = jnp.take(r_full, types, axis=0)
+        mw = None
+        if self.message_weight:
+            mw = jnp.take(params[f"w_msgweight_h{head}"], types, axis=0)
+        composed = self.composition(h_i, h_j, h_r, mw)
+        msg = composed @ weight
+        if self.learned_relation_weight and not is_loop:
+            msg = msg * jnp.take(params["alpha"], types, axis=0)
+        if norm is not None:
+            msg = msg * norm[:, None]
+        else:
+            msg = msg * mask[:, None]
+        return msg
+
+    def _per_relation_out(self, params, x, r_full, graph, edge_mask,
+                          ctx: Ctx) -> jnp.ndarray:
+        """Scan over padded relation buckets; one matmul per relation."""
+        edge_index, edge_type = graph["edge_index"], graph["edge_type"]
+        src_all, nbr_all = edge_index[0], edge_index[1]
+        N = self.num_entities
+        if self.use_edge_norm:
+            # degree over the whole graph (reference per_relation branch)
+            deg = segment_sum(edge_mask, src_all, N)
+            deg_inv = jnp.where(
+                deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0
+            )
+        buckets = graph["rel_buckets"]          # [M, Emax], -1 padded
+        bucket_rels = graph["rel_bucket_ids"]   # [M]
+
+        use_blocks = self.propagation == "per_relation_block"
+        if use_blocks:
+            nb = self.num_blocks_or_bases
+            bi = self.in_dim // nb
+            bo = self.out_dim // nb
+
+        def step(acc, inp):
+            bucket, rel = inp
+            valid = (bucket >= 0).astype(x.dtype)
+            pos = jnp.maximum(bucket, 0)
+            src = src_all[pos]
+            nbr = nbr_all[pos]
+            mask = valid * edge_mask[pos]
+            h_j = jnp.take(x, nbr, axis=0)
+            h_r = jnp.broadcast_to(r_full[rel][None, :], h_j.shape)
+            composed = self.composition(None, h_j, h_r, None)
+            if use_blocks:
+                blocks = params["w_blocks"][rel]       # [nb, bi, bo]
+                msg = jnp.einsum(
+                    "ebi,bio->ebo",
+                    composed.reshape(-1, nb, bi), blocks,
+                ).reshape(-1, self.out_dim)
+            else:
+                w = jnp.einsum("b,bio->io", params["comps"][rel],
+                               params["bases"])
+                msg = composed @ w
+            if self.learned_relation_weight:
+                msg = msg * params["alpha"][rel]
+            if self.use_edge_norm:
+                msg = msg * (deg_inv[src] * deg_inv[nbr] * mask)[:, None]
+            else:
+                msg = msg * mask[:, None]
+            return acc + segment_sum(msg, src, N), None
+
+        acc0 = jnp.zeros((N, self.out_dim), x.dtype)
+        out, _ = jax.lax.scan(step, acc0, (buckets, bucket_rels))
+        return out
+
+    def apply(self, params, x, r, graph, ctx: Ctx) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        edge_index, edge_type = graph["edge_index"], graph["edge_type"]
+        E = edge_index.shape[1]
+        N = self.num_entities
+        if self.weight_decomposition == "relation_basis":
+            r = params["relation_basis_weights"] @ params["basis_vectors"]
+        r_full = jnp.concatenate([r, params["loop_rel"]], axis=0)
+        loop_rel_id = r_full.shape[0] - 1
+        edge_mask, self_mask = self._edge_masks(ctx, E, x.dtype)
+        loop_idx = jnp.arange(N, dtype=edge_index.dtype)
+        loop_types = jnp.full((N,), loop_rel_id, dtype=edge_type.dtype)
+
+        def mode_edges(mode):
+            if mode == "in":
+                sl = slice(0, E // 2)
+                return (edge_index[0, sl], edge_index[1, sl],
+                        edge_type[sl], edge_mask[sl], False)
+            if mode == "out":
+                sl = slice(E // 2, E)
+                return (edge_index[0, sl], edge_index[1, sl],
+                        edge_type[sl], edge_mask[sl], False)
+            if mode == "loop":
+                return loop_idx, loop_idx, loop_types, self_mask, True
+            # "" : all edges; without a self-edge weight the loops ride along
+            if not self.self_edge_weight:
+                return (
+                    jnp.concatenate([edge_index[0], loop_idx]),
+                    jnp.concatenate([edge_index[1], loop_idx]),
+                    jnp.concatenate([edge_type, loop_types]),
+                    jnp.concatenate([edge_mask, self_mask]),
+                    False,
+                )
+            return edge_index[0], edge_index[1], edge_type, edge_mask, False
+
+        num_modes = len(self.modes)
+        head_outputs = []
+        for head in range(self.num_heads):
+            if self.propagation.startswith("per_relation"):
+                out = self._per_relation_out(
+                    params, x, r_full, graph, edge_mask, ctx
+                )
+                # self-loop mode with its own weight
+                h_r = jnp.broadcast_to(params["loop_rel"], x.shape)
+                composed = self.composition(x, x, h_r, None)
+                loop_msg = (composed @ params["w_loop"]) * self_mask[:, None]
+                out = out + loop_msg
+                head_outputs.append(out)
+                continue
+
+            per_mode = []
+            for mode in self.modes:
+                src, nbr, types, mask, is_loop = mode_edges(mode)
+                norm = None
+                if self.use_edge_norm and not is_loop:
+                    norm = degree_norm(src, nbr, mask, N)
+                msg = self._edge_messages(
+                    params, x, r_full, src, nbr, types, mask,
+                    params[f"w_{mode}_h{head}"], head, is_loop, norm, ctx,
+                )
+                if self.attention:
+                    per_mode.append((msg, src))
+                else:
+                    agg = segment_sum(msg, src, N)
+                    if not is_loop:
+                        agg = ctx.dropout(agg, self.prop_dropout)
+                    if self.propagation == "direction":
+                        agg = agg / num_modes
+                    per_mode.append(agg)
+            if self.attention:
+                # RAGAT attention: edge-level softmax per target node
+                messages = jnp.concatenate([m for m, _ in per_mode], axis=0)
+                dst = jnp.concatenate([s for _, s in per_mode], axis=0)
+                att_w = params[f"w_att_h{head}"]
+                scores = -jax.nn.leaky_relu(
+                    (messages @ att_w).reshape(-1), negative_slope=0.2
+                )
+                edge_exp = jnp.exp(scores)[:, None]
+                entity_exp = segment_sum(edge_exp, dst, N)
+                entity_exp = jnp.where(entity_exp == 0.0, 1.0, entity_exp)
+                edge_exp = ctx.dropout(edge_exp, self.prop_dropout)
+                weighted = segment_sum(edge_exp * messages, dst, N)
+                head_outputs.append(weighted / entity_exp)
+            else:
+                out = per_mode[0]
+                for m in per_mode[1:]:
+                    out = out + m
+                head_outputs.append(out)
+
+        out = head_outputs[0] / self.num_heads if self.attention else head_outputs[0]
+        for h in head_outputs[1:]:
+            out = out + h / self.num_heads
+        if self.bias_:
+            out = out + params["bias"]
+        if not self.propagation.startswith("per_relation"):
+            out = batch_norm_affine(out, params, f"{self.name}_bn", ctx)
+        # relation transform (drops the loop relation row)
+        if self.rel_transformation == "self":
+            rel = r_full[:-1]
+        elif self.rel_transformation == "linear":
+            rel = (r_full @ params["w_rel"])[:-1]
+        else:
+            raise NotImplementedError(
+                f"rel_transformation {self.rel_transformation}"
+            )
+        return out, rel
+
+
+class RgcnLayer(RgnnLayerBase):
+    """R-GCN layer: sum_r A_r X W_r with per-(relation, node) mean
+    normalization (reference TorchRgcnLayer, rgnn_encoder.py:600-906).
+
+    The reference's vertical/horizontal sparse stackings are the same
+    math with different normalization keys: vertical normalizes by the
+    (rel, source) out-degree, horizontal by the (rel, target) in-degree.
+    """
+
+    def __init__(self, name, config, dataset, in_dim, out_dim, options):
+        super().__init__(name, config, dataset, in_dim, out_dim, options)
+        self.num_relations = dataset.num_relations() * 2 + 1  # + self edge
+        self.weight_decomposition = options["weight_decomposition"]
+        self.num_blocks_or_bases = options["num_blocks_or_bases"]
+        self.vertical_stacking = options["torch_rgcn_args"]["vertical_stacking"]
+
+    def init_params(self, rng) -> Dict[str, Any]:
+        params: Dict[str, Any] = {}
+        k1, k2, k3 = jax.random.split(rng, 3)
+        if self.bias_:
+            params["bias"] = init_weight(
+                k3, (self.out_dim,), self.bias_init
+            )
+        if self.weight_decomposition == "basis":
+            if self.num_blocks_or_bases <= 0:
+                raise ValueError("basis decomposition needs > 0 bases")
+            params["bases"] = init_weight(
+                k1, (self.num_blocks_or_bases, self.in_dim, self.out_dim),
+                self.weight_init,
+            )
+            params["comps"] = init_weight(
+                k2, (self.num_relations, self.num_blocks_or_bases),
+                self.weight_init,
+            )
+        elif self.weight_decomposition == "block":
+            nb = self.num_blocks_or_bases
+            bi, ri = divmod(self.in_dim, nb)
+            bo, ro = divmod(self.out_dim, nb)
+            if ri or ro:
+                raise RuntimeError("weight dims not divisible by blocks")
+            fans = [self.num_base_relations, bi]
+            params["blocks"] = schlichtkrull_normal_(
+                k1, (self.num_relations - 1, nb, bi, bo), fans=fans
+            )
+            params["block_self"] = schlichtkrull_normal_(
+                k2, (self.in_dim, self.out_dim), fans=fans
+            )
+        else:
+            params["weights"] = init_weight(
+                k1, (self.num_relations, self.in_dim, self.out_dim),
+                self.weight_init,
+            )
+        return params
+
+    def apply(self, params, x, r, graph, ctx: Ctx):
+        edge_index, edge_type = graph["edge_index"], graph["edge_type"]
+        E = edge_index.shape[1]
+        N = self.num_entities
+        R = self.num_relations
+        edge_mask, self_mask = self._edge_masks(ctx, E, x.dtype)
+        src_all, nbr_all = edge_index[0], edge_index[1]
+
+        # per-(rel, node) counts for mean normalization; int32 keys are
+        # safe while R*N < 2^31 (checked at init)
+        assert R * N < 2 ** 31, "rel-node key space exceeds int32"
+        key_node = src_all if self.vertical_stacking else nbr_all
+        keys = edge_type.astype(jnp.int32) * N + key_node
+        counts = segment_sum(edge_mask, keys, R * N)
+        self_counts = self_mask  # self edges: one per node
+
+        use_blocks = self.weight_decomposition == "block"
+        if use_blocks:
+            nb = self.num_blocks_or_bases
+            bi = self.in_dim // nb
+
+        buckets = graph["rel_buckets"]
+        bucket_rels = graph["rel_bucket_ids"]
+
+        def step(acc, inp):
+            bucket, rel = inp
+            valid = (bucket >= 0).astype(x.dtype)
+            pos = jnp.maximum(bucket, 0)
+            src = src_all[pos]
+            nbr = nbr_all[pos]
+            mask = valid * edge_mask[pos]
+            key = rel.astype(jnp.int32) * N + (
+                src if self.vertical_stacking else nbr
+            )
+            vals = mask / jnp.maximum(counts[key], 1.0)
+            h_j = jnp.take(x, nbr, axis=0)
+            if use_blocks:
+                blocks = params["blocks"][rel]
+                msg = jnp.einsum(
+                    "ebi,bio->ebo", h_j.reshape(-1, nb, bi), blocks
+                ).reshape(-1, self.out_dim)
+            elif self.weight_decomposition == "basis":
+                w = jnp.einsum("b,bio->io", params["comps"][rel],
+                               params["bases"])
+                msg = h_j @ w
+            else:
+                msg = h_j @ params["weights"][rel]
+            msg = msg * vals[:, None]
+            return acc + segment_sum(msg, src, N), None
+
+        acc0 = jnp.zeros((N, self.out_dim), x.dtype)
+        out, _ = jax.lax.scan(step, acc0, (buckets, bucket_rels))
+
+        # self edges (relation R-1)
+        if use_blocks:
+            self_w = params["block_self"]
+        elif self.weight_decomposition == "basis":
+            self_w = jnp.einsum(
+                "b,bio->io", params["comps"][R - 1], params["bases"]
+            )
+        else:
+            self_w = params["weights"][R - 1]
+        self_vals = self_mask / jnp.maximum(self_counts, 1.0)
+        out = out + (x @ self_w) * self_vals[:, None]
+        if self.bias_:
+            out = out + params["bias"]
+        return out, r
+
+
+class WeightedGCNLayer(RgnnLayerBase):
+    """W-GCN layer: alpha_r-weighted symmetric adjacency, one shared
+    weight (reference: rgnn_encoder.py:908-998)."""
+
+    def __init__(self, name, config, dataset, in_dim, out_dim, options):
+        super().__init__(name, config, dataset, in_dim, out_dim, options)
+        self.num_relations = dataset.num_relations() * 2 + 1
+
+    def init_params(self, rng):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        params = {
+            "weight": init_weight(
+                k1, (self.in_dim, self.out_dim), self.weight_init
+            ),
+            # note: the reference sets padding_idx=0 on alpha, which
+            # permanently zeroes relation 0's weight; we keep all
+            # relations trainable (documented deviation)
+            "alpha": init_weight(k2, (self.num_relations + 1, 1), "normal_"),
+            "bn_scale": jnp.ones(self.out_dim),
+            "bn_bias": jnp.zeros(self.out_dim),
+        }
+        if self.bias_:
+            params["bias"] = init_weight(k3, (self.out_dim,), self.bias_init)
+        return params
+
+    def init_state(self):
+        return {
+            f"{self.name}_bn": {
+                "mean": jnp.zeros(self.out_dim),
+                "var": jnp.ones(self.out_dim),
+            }
+        }
+
+    def apply(self, params, x, r, graph, ctx: Ctx):
+        edge_index, edge_type = graph["edge_index"], graph["edge_type"]
+        E = edge_index.shape[1]
+        N = self.num_entities
+        _, self_mask = self._edge_masks(ctx, E, x.dtype)
+        src = jnp.concatenate([edge_index[0], jnp.arange(N, dtype=edge_index.dtype)])
+        dst = jnp.concatenate([edge_index[1], jnp.arange(N, dtype=edge_index.dtype)])
+        types = jnp.concatenate([
+            edge_type,
+            jnp.full((N,), self.num_relations - 1, dtype=edge_type.dtype),
+        ])
+        mask = jnp.concatenate([jnp.ones(E, x.dtype), self_mask])
+        alpha = jnp.take(params["alpha"], types, axis=0)[:, 0] * mask
+        xw = x @ params["weight"]
+        # symmetric adjacency: A + A^T
+        msg = jnp.take(xw, dst, axis=0) * alpha[:, None]
+        out = segment_sum(msg, src, N)
+        msg_t = jnp.take(xw, src, axis=0) * alpha[:, None]
+        out = out + segment_sum(msg_t, dst, N)
+        if self.bias_:
+            out = out + params["bias"]
+        out = batch_norm_affine(out, params, f"{self.name}_bn", ctx)
+        return out, r

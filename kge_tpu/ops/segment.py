@@ -1,0 +1,103 @@
+"""Segment/scatter primitives and GNN math helpers.
+
+The reference's vendored torch_scatter kernels and sparse-sum autograd
+function (reference: kge/model/embedder/rgnn_utils.py) all reduce to
+``jax.ops.segment_sum`` — XLA differentiates segment ops natively, so no
+custom autograd is needed. Circular correlation uses jnp.fft.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray,
+                num_segments: int) -> jnp.ndarray:
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_mean(data, segment_ids, num_segments):
+    total = segment_sum(data, segment_ids, num_segments)
+    count = segment_sum(jnp.ones_like(data[..., :1]), segment_ids, num_segments)
+    return total / jnp.maximum(count, 1.0)
+
+
+def segment_max(data, segment_ids, num_segments):
+    return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+
+
+def degree_norm(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
+                num_nodes: int) -> jnp.ndarray:
+    """Symmetric degree edge norm 1/(sqrt(D_src) sqrt(D_dst)), with edge
+    dropout masks folded into the degrees (reference: rgnn_encoder.py
+    edge_norm)."""
+    deg = segment_sum(mask, src, num_nodes)
+    deg_inv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0)
+    return deg_inv[src] * deg_inv[dst] * mask
+
+
+def ccorr(h_j: jnp.ndarray, h_r: jnp.ndarray) -> jnp.ndarray:
+    """Circular correlation conj(F(h_j)) * F(h_r) -> iF (reference:
+    rgnn_utils.py ccorr)."""
+    n = h_j.shape[-1]
+    fj = jnp.fft.rfft(h_j, axis=-1)
+    fr = jnp.fft.rfft(h_r, axis=-1)
+    return jnp.fft.irfft(jnp.conj(fj) * fr, n=n, axis=-1)
+
+
+# ---- compositions (reference: rgnn_utils.py:168-224) --------------------
+
+def composition_fn(name: str):
+    if name in ("neighbor", "neighbour"):
+        return lambda h_i, h_j, h_r, w=None: h_j if w is None else h_j * w
+    if name == "sub":
+        return lambda h_i, h_j, h_r, w=None: h_j - h_r
+    if name == "sub_weighted":
+        return lambda h_i, h_j, h_r, w: h_j * w - h_r
+    if name == "mult":
+        return lambda h_i, h_j, h_r, w=None: h_j * h_r
+    if name == "mult_weighted":
+        return lambda h_i, h_j, h_r, w: h_j * h_r * w
+    if name == "cross":
+        return lambda h_i, h_j, h_r, w=None: h_j * h_r + h_j
+    if name == "cross_weighted":
+        return lambda h_i, h_j, h_r, w: h_j * h_r * w + h_j * w
+    if name == "ccorr":
+        return lambda h_i, h_j, h_r, w=None: ccorr(h_j, h_r)
+    if name == "ccorr_weighted":
+        return lambda h_i, h_j, h_r, w: ccorr(h_j * w, h_r)
+    raise NotImplementedError(f"composition function {name} not found")
+
+
+# ---- initializers (reference: rgnn_utils.py:130-164) ---------------------
+
+def schlichtkrull_std(shape, gain=1.0, fans=None):
+    if fans is not None:
+        fan_in, fan_out = fans
+    else:
+        fan_in, fan_out = shape[-2], shape[-1]
+    return gain * 3.0 / math.sqrt(float(fan_in + fan_out))
+
+
+def schlichtkrull_normal_(rng, shape, fans=None):
+    return schlichtkrull_std(shape, fans=fans) * jax.random.normal(
+        rng, shape, dtype=jnp.float32
+    )
+
+
+def schlichtkrull_uniform_(rng, shape, fans=None):
+    std = schlichtkrull_std(shape, fans=fans)
+    return jax.random.uniform(rng, shape, minval=-std, maxval=std,
+                              dtype=jnp.float32)
+
+
+def wgcn_uniform_(rng, shape):
+    if len(shape) == 1:
+        std = 1.0 / math.sqrt(shape[0])
+    else:
+        std = 1.0 / math.sqrt(shape[1])
+    return jax.random.uniform(rng, shape, minval=-std, maxval=std,
+                              dtype=jnp.float32)

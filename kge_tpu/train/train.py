@@ -346,6 +346,9 @@ class TrainingJob(TrainingOrEvaluationJob):
             }
             prepare_time += time.time() - t0
             step_rng = jax.random.fold_in(epoch_rng, batch_index)
+            if self._train_step is None:
+                # invalidated mid-epoch (e.g. per-epoch graph resampling)
+                self._train_step = self._build_train_step()
             (self.params, self.opt_state, self.model_state,
              metrics) = self._train_step(
                 self.params, self.opt_state, self.model_state, batch, lrs,

@@ -1,0 +1,110 @@
+"""R-GNN encoder tests: all four presets train end-to-end on the tiny
+fixture; RGCN (non-reciprocal decoder) passes the score-form consistency
+invariant."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kge_tpu import Dataset
+from kge_tpu.models import Ctx, KgeModel
+from kge_tpu.train.train import TrainingJob
+
+from tests.util import create_config, get_dataset_folder
+
+RGNN_MODELS = ["rgcn", "wgcn", "compgcn", "ragat"]
+
+
+def _make_config(model_name, extra=None):
+    config = create_config("dataset_test", model=model_name)
+    config.set("train.type", "negative_sampling")
+    config.set("train.batch_size", 4)
+    config.set("train.max_epochs", 1)
+    config.set("valid.every", 0)
+    config.set("random_seed.default", 7)
+    # small dims for speed
+    config.set(f"{model_name}.entity_embedder.dim", 16, create=True)
+    config.set(f"{model_name}.relation_embedder.dim", 16, create=True)
+    if model_name == "rgcn":
+        config.set("rgcn.encoder.num_blocks_or_bases", 4)
+    # shrink the ConvE decoder for the reciprocal presets
+    if model_name in ("wgcn", "compgcn", "ragat"):
+        config.set(
+            f"{model_name}.decoder.base_model.entity_embedder.dim", 32,
+            create=True,
+        )
+        config.set(
+            f"{model_name}.decoder.base_model.relation_embedder.dim", 32,
+            create=True,
+        )
+    for key, value in (extra or {}).items():
+        config.set(key, value, create=True)
+    return config
+
+
+@pytest.mark.parametrize("model_name", RGNN_MODELS)
+def test_rgnn_trains_one_epoch(model_name):
+    config = _make_config(model_name)
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    job = TrainingJob.create(config, dataset)
+    trace = job.run()
+    assert np.isfinite(trace["avg_loss"]), model_name
+
+
+def test_rgcn_score_form_consistency():
+    config = _make_config("rgcn")
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    model = KgeModel.create(config, dataset)
+    params = model.init_params(jax.random.PRNGKey(3))
+    state = model.init_state()
+    E = dataset.num_entities()
+    R = dataset.num_relations()
+    s, p, o = np.meshgrid(
+        np.arange(E), np.arange(R), np.arange(E), indexing="ij"
+    )
+    spo = np.asarray(
+        model.score_spo(
+            params, jnp.asarray(s.reshape(-1)), jnp.asarray(p.reshape(-1)),
+            jnp.asarray(o.reshape(-1)), direction="o", ctx=Ctx(state=state),
+        )
+    ).reshape(E, R, E)
+    ss, pp = np.meshgrid(np.arange(E), np.arange(R), indexing="ij")
+    sp = np.asarray(
+        model.score_sp(
+            params, jnp.asarray(ss.reshape(-1)), jnp.asarray(pp.reshape(-1)),
+            ctx=Ctx(state=state),
+        )
+    ).reshape(E, R, E)
+    np.testing.assert_allclose(spo, sp, rtol=1e-4, atol=1e-4)
+
+
+def test_compgcn_eval_runs():
+    from kge_tpu.evaluation.eval import EvaluationJob
+
+    config = _make_config("compgcn")
+    config.set("job.type", "eval")
+    config.set("eval.split", "test")
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    model = KgeModel.create(config, dataset)
+    params = model.init_params(jax.random.PRNGKey(5))
+    job = EvaluationJob.create(config, dataset, model=model)
+    job.set_params(params, model.init_state())
+    trace = job.run()
+    assert "mean_reciprocal_rank_filtered" in trace
+    assert 0.0 <= trace["mean_reciprocal_rank_filtered"] <= 1.0
+
+
+def test_graph_sampling_epoch():
+    config = _make_config(
+        "compgcn",
+        extra={
+            "negative_sampling.graph_sampling": "uniform",
+            "negative_sampling.graph_sampling_size": 4,
+        },
+    )
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    job = TrainingJob.create(config, dataset)
+    trace = job.run()
+    assert np.isfinite(trace["avg_loss"])
