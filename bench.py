@@ -1,0 +1,116 @@
+"""Headline benchmark: KGE training throughput (triples/s) on one chip.
+
+Workload: ComplEx, FB15k-237-scale synthetic graph (14541 entities, 237
+relations, dim 128), negative-sampling training with 128 shared negatives
+per slot and batch 1024 — the shape of the reference's large-scale recipe
+(reference README: Wikidata5M/Yago3-10 configs use shared NegSamp,
+dim 128, batch 1024, Adagrad).
+
+The reference publishes no throughput numbers (BASELINE.md), so
+vs_baseline is reported against a fixed reference point of 20k triples/s
+(a PyTorch V100-class figure for this workload in LibKGE-style loops);
+higher is better.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+REFERENCE_TRIPLES_PER_S = 20_000.0
+
+
+def build_synthetic_dataset(config, num_entities=14541, num_relations=237,
+                            num_triples=272115, seed=0):
+    from kge_tpu import Dataset
+
+    rng = np.random.default_rng(seed)
+    triples = np.stack(
+        [
+            rng.integers(num_entities, size=num_triples),
+            rng.integers(num_relations, size=num_triples),
+            rng.integers(num_entities, size=num_triples),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    config.set("dataset.num_entities", num_entities)
+    config.set("dataset.num_relations", num_relations)
+    config.set("dataset.pickle", False)
+    dataset = Dataset(config, folder=None)
+    dataset._triples["train"] = triples
+    dataset._triples["valid"] = triples[:1000]
+    dataset._triples["test"] = triples[:1000]
+    return dataset
+
+
+def main():
+    from kge_tpu import Config
+    from kge_tpu.train.train import TrainingJob
+    import jax
+    import jax.numpy as jnp
+
+    config = Config()
+    config.folder = None
+    config.set("console.quiet", True)
+    config.set("model", "complex")
+    config._import("complex")
+    config.set("lookup_embedder.dim", 128)
+    config.set("train.type", "negative_sampling")
+    config.set("train.batch_size", 1024)
+    config.set("negative_sampling.num_samples.s", 128)
+    config.set("negative_sampling.num_samples.o", 128)
+    config.set("negative_sampling.shared", True)
+    config.set("negative_sampling.implementation", "batch")
+    config.set("train.optimizer.default.args.lr", 0.1, create=True)
+    config.set("random_seed.default", 13)
+    config.set("valid.every", 0)
+
+    dataset = build_synthetic_dataset(config)
+    job = TrainingJob.create(config, dataset)
+    job._prepare()
+    job._is_prepared = True
+    job._train_step = job._build_train_step()
+
+    lrs = {
+        g: jnp.asarray(base, dtype=jnp.float32)
+        for g, base in job.optimizer.base_lrs.items()
+    }
+    rng = jax.random.PRNGKey(2)
+
+    # pre-generate host batches so sampling is off the timed path
+    batches = []
+    gen = job._generate_batches(1)
+    for _ in range(24):
+        batches.append(job._put_batch(next(gen)))
+
+    # warmup (compile + 2 steps)
+    for batch in batches[:3]:
+        job.params, job.opt_state, job.model_state, metrics = job._train_step(
+            job.params, job.opt_state, job.model_state, batch, lrs, rng
+        )
+    jax.block_until_ready(metrics["avg_loss"])
+
+    steps = 20
+    start = time.perf_counter()
+    for i in range(steps):
+        batch = batches[3 + (i % 21)]
+        job.params, job.opt_state, job.model_state, metrics = job._train_step(
+            job.params, job.opt_state, job.model_state, batch, lrs, rng
+        )
+    jax.block_until_ready(metrics["avg_loss"])
+    elapsed = time.perf_counter() - start
+
+    triples_per_s = steps * job.batch_size / elapsed
+    print(json.dumps({
+        "metric": "train_triples_per_s_complex_negsamp_fb15k237_scale",
+        "value": round(triples_per_s, 1),
+        "unit": "triples/s/chip",
+        "vs_baseline": round(triples_per_s / REFERENCE_TRIPLES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,15 @@ class LookupEmbedder(KgeEmbedder):
         round_to = self.get_option("round_dim_to")
         if len(round_to) > 0:
             self.dim = round_to_points(round_to, self.dim)
+        # vocab padding so the table divides the mesh "model" axis; the
+        # padded rows are zero-initialized and sliced off by embed_all
+        try:
+            model_axis = max(1, config.get("tpu.mesh.model"))
+        except KeyError:
+            model_axis = 1
+        self.padded_vocab_size = (
+            (self.vocab_size + model_axis - 1) // model_axis * model_axis
+        )
         self.dropout_rate: float = self.get_option("dropout")
         if self.dropout_rate < 0:
             if config.get("train.auto_correct"):
@@ -51,6 +60,12 @@ class LookupEmbedder(KgeEmbedder):
         if self.normalize_p > 0:
             weights = self._lp_normalize(weights)
         weights = self._maybe_init_pretrained(weights)
+        if self.padded_vocab_size != self.vocab_size:
+            pad = jnp.zeros(
+                (self.padded_vocab_size - self.vocab_size, self.dim),
+                weights.dtype,
+            )
+            weights = jnp.concatenate([weights, pad], axis=0)
         return {"weights": weights}
 
     def _maybe_init_pretrained(self, weights: jnp.ndarray) -> jnp.ndarray:
@@ -119,7 +134,9 @@ class LookupEmbedder(KgeEmbedder):
         return ctx.dropout(emb, self.dropout_rate)
 
     def embed_all(self, params, ctx: Ctx) -> jnp.ndarray:
-        return ctx.dropout(params["weights"], self.dropout_rate)
+        return ctx.dropout(
+            params["weights"][: self.vocab_size], self.dropout_rate
+        )
 
     # ------------------------------------------------------------------ penalty
 
@@ -135,7 +152,7 @@ class LookupEmbedder(KgeEmbedder):
         weight = self.get_option("regularize_weight")
         name = f"{self.configuration_key}.L{p}_penalty"
         if not self.get_option("regularize_args.weighted"):
-            table = params["weights"]
+            table = params["weights"][: self.vocab_size]
             norm_p = jnp.sum(jnp.abs(table) ** p)
             return [(name, weight / p * norm_p)]
         if indexes is None:

@@ -73,6 +73,36 @@ class TrainingJob(TrainingOrEvaluationJob):
             self.params = self.model.init_params(init_rng)
             self.params = self.model.normalize_params(self.params)
             self.model_state = self.model.init_state()
+
+        # multi-device mesh: vocab-shard embedding tables over "model",
+        # shard batches over "data"; GSPMD inserts the collectives
+        from kge_tpu.parallel.mesh import build_mesh, params_sharding
+
+        self.mesh = build_mesh(config)
+        self._batch_shardings = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_size = self.mesh.shape["data"]
+            if self.batch_size % data_size != 0:
+                new_size = ((self.batch_size + data_size - 1)
+                            // data_size) * data_size
+                config.log(
+                    f"Rounding train.batch_size up to {new_size} to divide "
+                    f"the data mesh axis ({data_size})."
+                )
+                self.batch_size = new_size
+                config.set("train.batch_size", new_size)
+            self.params = jax.device_put(
+                self.params, params_sharding(self.mesh, self.params)
+            )
+            self.model_state = jax.device_put(
+                self.model_state, NamedSharding(self.mesh, P())
+            )
+            config.log(
+                f"Using mesh {dict(self.mesh.shape)} over "
+                f"{self.mesh.devices.size} devices"
+            )
         self.optimizer = KgeOptimizer(config, self.params)
         self.opt_state = self.optimizer.init(self.params) \
             if not forward_only else None
@@ -340,10 +370,7 @@ class TrainingJob(TrainingOrEvaluationJob):
             for f in self.pre_batch_hooks:
                 f(self)
             t0 = time.time()
-            batch = {
-                k: jax.device_put(v, self.device)
-                for k, v in batch_np.items()
-            }
+            batch = self._put_batch(batch_np)
             prepare_time += time.time() - t0
             step_rng = jax.random.fold_in(epoch_rng, batch_index)
             if self._train_step is None:
@@ -442,6 +469,26 @@ class TrainingJob(TrainingOrEvaluationJob):
             event="job_resumed", epoch=self.epoch,
             checkpoint_file=checkpoint.get("file"),
         )
+
+    def _put_batch(self, batch_np: Dict[str, np.ndarray]):
+        """Move a host batch to the device(s). Under a mesh, arrays with a
+        leading batch axis shard over "data"; the rest replicate."""
+        if self.mesh is None:
+            return {
+                k: jax.device_put(v, self.device)
+                for k, v in batch_np.items()
+            }
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out = {}
+        for k, v in batch_np.items():
+            arr = np.asarray(v)
+            if arr.ndim >= 1 and arr.shape[0] == self.batch_size:
+                spec = P("data", *([None] * (arr.ndim - 1)))
+            else:
+                spec = P()
+            out[k] = jax.device_put(arr, NamedSharding(self.mesh, spec))
+        return out
 
     # ------------------------------------------------------------------ batching helpers
 

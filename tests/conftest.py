@@ -3,23 +3,24 @@
 Multi-chip sharding is validated on the host platform with
 ``xla_force_host_platform_device_count`` (the JAX analogue of a fake
 distributed backend), as the CI machine has no multi-chip TPU.
+
+Some environments register a TPU platform plugin at interpreter start
+and force ``jax_platforms`` to include it; re-forcing the config to
+"cpu" before any backend initializes keeps tests off the (single,
+possibly busy) TPU tunnel entirely.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-# Some environments register a TPU platform plugin that ignores
-# JAX_PLATFORMS; pin the default device to CPU explicitly as well.
 import jax  # noqa: E402
 
-try:
-    jax.config.update("jax_default_device", jax.devices("cpu")[0])
-except RuntimeError:
-    pass
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
