@@ -203,6 +203,12 @@ def main():
         checkpoint = load_checkpoint(checkpoint_file)
 
     try:
+        if config.get("job.device") == "cpu":
+            # keep CPU jobs off accelerator plugins entirely (a busy
+            # single-client TPU tunnel would otherwise block backend init)
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         seed_from_config(config)
         config.log("Using folder " + str(config.folder))
         dataset = Dataset.create(config)

@@ -187,6 +187,11 @@ class Config:
                 )
             value = _coerce_number(value)
         elif current is not None:
+            if isinstance(value, str) and isinstance(current, (list, dict)):
+                # structured flag values from the CLI arrive as strings
+                parsed = yaml.safe_load(value)
+                if isinstance(parsed, type(current)):
+                    value = parsed
             if isinstance(value, str) and isinstance(current, (int, float)) and not isinstance(current, bool):
                 coerced = _coerce_number(value)
                 if isinstance(coerced, (int, float)):
