@@ -77,6 +77,7 @@ class EntityRankingJob(EvaluationJob):
             self.hist_hooks.append(hist_per_frequency_percentile)
         self._chunk_fn = None
         self._true_fn = None
+        self._spo_fn = None  # None: untested, False: unsupported
         if self.__class__ == EntityRankingJob:
             for f in Job.job_created_hooks:
                 f(self)
@@ -144,6 +145,47 @@ class EntityRankingJob(EvaluationJob):
             return o_true, s_true
 
         return jax.jit(true_scores)
+
+    def _build_spo_fn(self):
+        model = self.model
+
+        def spo_scores(params, model_state, s, p, o):
+            ctx = Ctx(train=False, state=model_state)
+            o_spo = model.score_spo(params, s, p, o, direction="o", ctx=ctx)
+            s_spo = model.score_spo(params, s, p, o, direction="s", ctx=ctx)
+            return o_spo, s_spo
+
+        return jax.jit(spo_scores)
+
+    def _check_spo_consistency(self, params, model_state, s, p, o,
+                               o_true, s_true):
+        """spo-vs-sp_ floating point consistency check (reference:
+        eval_entity_ranking.py:240-274): the triple-wise scoring path
+        must agree with the matrix path within the tie tolerances."""
+        if self._spo_fn is False:
+            return
+        if self._spo_fn is None:
+            try:
+                self._spo_fn = self._build_spo_fn()
+                self._spo_fn(params, model_state, s, p, o)
+            except (ValueError, NotImplementedError):
+                self._spo_fn = False  # model cannot score spo both ways
+                return
+        o_spo, s_spo = self._spo_fn(params, model_state, s, p, o)
+        for name, spo_v, true_v in [("sp_", o_spo, o_true),
+                                    ("_po", s_spo, s_true)]:
+            a, b = np.asarray(spo_v), np.asarray(true_v)
+            close = np.isclose(a, b, rtol=self.tie_rtol, atol=self.tie_atol)
+            if not close.all():
+                diff = float(np.abs(a - b).max())
+                msg = (
+                    f"spo scores differ from {name} scores beyond the tie "
+                    f"tolerances (max abs diff {diff:.3e})"
+                )
+                if self.tie_warn_only:
+                    self.config.log("WARNING: " + msg)
+                else:
+                    raise ValueError(msg)
 
     def _build_chunk_fn(self, num_rankings: int):
         model = self.model
@@ -252,6 +294,9 @@ class EntityRankingJob(EvaluationJob):
             p = jnp.asarray(batch[:, 1].astype(np.int32))
             o = jnp.asarray(batch[:, 2].astype(np.int32))
             o_true, s_true = self._true_fn(params, model_state, s, p, o)
+            self._check_spo_consistency(
+                params, model_state, s, p, o, o_true, s_true
+            )
 
             # label coordinates per filtered ranking
             coord_sets = [self._collect_coords(batch, self.filter_splits)]

@@ -81,6 +81,11 @@ class EvaluationJob(TrainingOrEvaluationJob):
                 {"config": self.config, "math": math, **epoch_trace},
             )
         epoch_trace = self.trace(**epoch_trace, echo=self.verbose, log=True)
+        from kge_tpu.utils.trace import format_trace_entry
+
+        line = format_trace_entry("eval_epoch", epoch_trace, self.config)
+        if line:
+            self.config.log(line)
         return epoch_trace
 
     def _evaluate(self):

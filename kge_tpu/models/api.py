@@ -310,6 +310,22 @@ class KgeModel(KgeBase):
         )
         return params
 
+    def prepare_job(self, job, **kwargs):
+        """Register the num_parameters trace hook (reference:
+        kge/model/kge_model.py:587-603)."""
+        super().prepare_job(job, **kwargs)
+
+        from kge_tpu.train.train import TrainingJob
+
+        if isinstance(job, TrainingJob):
+            def append_num_parameters(job_):
+                if job_.current_trace.get("epoch") is not None:
+                    job_.current_trace["epoch"]["num_parameters"] = (
+                        self.num_parameters(job_.params)
+                    )
+
+            job.post_epoch_hooks.append(append_num_parameters)
+
     def num_parameters(self, params) -> int:
         return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
 

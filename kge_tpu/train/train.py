@@ -412,6 +412,11 @@ class TrainingJob(TrainingOrEvaluationJob):
         for f in self.post_epoch_hooks:
             f(self)
         self.trace(**trace_entry, echo=False, log=True)
+        from kge_tpu.utils.trace import format_trace_entry
+
+        line = format_trace_entry("train_epoch", trace_entry, self.config)
+        if line:
+            self.config.log(line)
         if self.config.get("train.trace_level") == "batch":
             for i, metrics in enumerate(batch_metrics):
                 self.trace(
