@@ -15,6 +15,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -72,38 +73,13 @@ def main():
     job = TrainingJob.create(config, dataset)
     job._prepare()
     job._is_prepared = True
-    job._train_step = job._build_train_step()
 
-    lrs = {
-        g: jnp.asarray(base, dtype=jnp.float32)
-        for g, base in job.optimizer.base_lrs.items()
-    }
-    rng = jax.random.PRNGKey(2)
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+    from harness import measure_steps
 
-    # pre-generate host batches so sampling is off the timed path
-    batches = []
-    gen = job._generate_batches(1)
-    for _ in range(24):
-        batches.append(job._put_batch(next(gen)))
-
-    # warmup (compile + 2 steps)
-    for batch in batches[:3]:
-        job.params, job.opt_state, job.model_state, metrics = job._train_step(
-            job.params, job.opt_state, job.model_state, batch, lrs, rng
-        )
-    jax.block_until_ready(metrics["avg_loss"])
-
-    steps = 20
-    start = time.perf_counter()
-    for i in range(steps):
-        batch = batches[3 + (i % 21)]
-        job.params, job.opt_state, job.model_state, metrics = job._train_step(
-            job.params, job.opt_state, job.model_state, batch, lrs, rng
-        )
-    jax.block_until_ready(metrics["avg_loss"])
-    elapsed = time.perf_counter() - start
-
-    triples_per_s = steps * job.batch_size / elapsed
+    sec_per_step, _ = measure_steps(job, steps=64, distinct_batches=8)
+    triples_per_s = job.batch_size / sec_per_step
     print(json.dumps({
         "metric": "train_triples_per_s_complex_negsamp_fb15k237_scale",
         "value": round(triples_per_s, 1),

@@ -1,0 +1,83 @@
+"""Message-passing throughput (edges/s) for the CompGCN encoder at
+FB15k-237 scale: full-graph encode inside a real negative-sampling train
+step (the BASELINE.json edges/s metric)."""
+
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main(dim=200, num_entities=14541, num_relations=237, num_triples=272115):
+    from kge_tpu import Config
+    from kge_tpu.train.train import TrainingJob
+    from bench import build_synthetic_dataset
+    import jax
+    import jax.numpy as jnp
+
+    config = Config()
+    config.folder = None
+    config.set("console.quiet", True)
+    config.set("model", "compgcn")
+    config._import("compgcn")
+    config.set("compgcn.entity_embedder.dim", dim, create=True)
+    config.set("compgcn.relation_embedder.dim", dim, create=True)
+    config.set("compgcn.decoder.base_model.entity_embedder.dim", dim,
+               create=True)
+    config.set("compgcn.decoder.base_model.relation_embedder.dim", dim,
+               create=True)
+    config.set("train.type", "negative_sampling")
+    config.set("train.batch_size", 1024)
+    config.set("negative_sampling.num_samples.s", 64)
+    config.set("negative_sampling.num_samples.o", 64)
+    config.set("negative_sampling.shared", True)
+    config.set("negative_sampling.implementation", "batch")
+    config.set("train.optimizer.default.args.lr", 0.1, create=True)
+    config.set("random_seed.default", 5)
+    config.set("valid.every", 0)
+    config.set("tpu.matmul_precision", "high")
+
+    dataset = build_synthetic_dataset(
+        config, num_entities, num_relations, num_triples
+    )
+    job = TrainingJob.create(config, dataset)
+    job._prepare()
+    job._is_prepared = True
+    job._train_step = job._build_train_step()
+    lrs = {g: jnp.asarray(b, dtype=jnp.float32)
+           for g, b in job.optimizer.base_lrs.items()}
+    rng = jax.random.PRNGKey(3)
+    gen = job._generate_batches(1)
+    batches = [job._put_batch(next(gen)) for _ in range(12)]
+    for batch in batches[:2]:
+        out = job._train_step(job.params, job.opt_state, job.model_state,
+                              batch, lrs, rng)
+        job.params, job.opt_state, job.model_state, metrics = out
+    jax.block_until_ready(metrics["avg_loss"])
+    steps = 10
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = job._train_step(job.params, job.opt_state, job.model_state,
+                              batches[2 + (i % 10)], lrs, rng)
+        job.params, job.opt_state, job.model_state, metrics = out
+    jax.block_until_ready(metrics["avg_loss"])
+    dt = time.perf_counter() - t0
+    # the encoder touches every edge (x2 for inverses, x2 layers) once per step
+    num_layers = config.get("compgcn.encoder.num_layers")
+    edges_per_step = num_triples * 2 * num_layers
+    print(json.dumps({
+        "metric": "gnn_edges_per_s_compgcn_fb15k237_scale",
+        "value": round(steps * edges_per_step / dt, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": 1.0,
+        "step_ms": round(dt / steps * 1e3, 2),
+        "triples_per_s": round(steps * job.batch_size / dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

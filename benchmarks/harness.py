@@ -1,0 +1,68 @@
+"""Benchmark harness: honest step timing through remote TPU tunnels.
+
+Some remote TPU transports make ``block_until_ready`` return at dispatch
+time, so per-dispatch wall-clock only measures host overhead. This
+harness scans N train steps inside ONE compiled program (cycling a small
+set of pre-staged device batches) and forces a scalar fetch, so
+``elapsed / N`` bounds the true device step time.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import numpy as np
+
+
+def measure_steps(job, steps: int = 32, distinct_batches: int = 8):
+    """Returns (seconds_per_step, final_loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    step_fn = job._make_step_fn()
+    gen = job._generate_batches(1)
+    batch_list = [next(gen) for _ in range(distinct_batches)]
+    stacked = {
+        k: jnp.asarray(np.stack([np.asarray(b[k]) for b in batch_list]))
+        for k in batch_list[0]
+    }
+    lrs = {g: jnp.asarray(b, dtype=jnp.float32)
+           for g, b in job.optimizer.base_lrs.items()}
+
+    def many(params, opt_state, state, stacked, lrs, rng):
+        def body(carry, i):
+            params, opt_state, state = carry
+            batch = jax.tree_util.tree_map(
+                lambda v: jax.lax.dynamic_index_in_dim(
+                    v, i % distinct_batches, keepdims=False
+                ),
+                stacked,
+            )
+            params, opt_state, state, metrics = step_fn(
+                params, opt_state, state, batch, lrs,
+                jax.random.fold_in(rng, i),
+            )
+            return (params, opt_state, state), metrics["avg_loss"]
+
+        (params, opt_state, state), losses = jax.lax.scan(
+            body, (params, opt_state, state), jnp.arange(steps)
+        )
+        return params, opt_state, state, losses[-1]
+
+    fn = jax.jit(many, donate_argnums=(0, 1, 2))
+    rng = jax.random.PRNGKey(7)
+    # warmup: compile + one full execution, forced by the scalar fetch
+    params, opt_state, state, loss = fn(
+        job.params, job.opt_state, job.model_state, stacked, lrs, rng
+    )
+    float(loss)
+    # timed run
+    t0 = time.perf_counter()
+    params, opt_state, state, loss = fn(
+        params, opt_state, state, stacked, lrs, rng
+    )
+    final_loss = float(loss)  # forces execution + transfer of one scalar
+    elapsed = time.perf_counter() - t0
+    job.params, job.opt_state, job.model_state = params, opt_state, state
+    return elapsed / steps, final_loss

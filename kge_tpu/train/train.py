@@ -48,6 +48,10 @@ class TrainingJob(TrainingOrEvaluationJob):
                  model: Optional[KgeModel] = None, forward_only: bool = False):
         super().__init__(config, dataset, parent_job)
         self.device = resolve_device(config)
+        jax.config.update(
+            "jax_default_matmul_precision",
+            config.check("tpu.matmul_precision", ["default", "high", "highest"]),
+        )
         if model is None:
             self.model = KgeModel.create(config, dataset)
         else:
@@ -172,6 +176,11 @@ class TrainingJob(TrainingOrEvaluationJob):
         return [slice(i, min(i + sub, size)) for i in range(0, size, sub)]
 
     def _build_train_step(self) -> Callable:
+        donate = (0, 1, 2) if self.config.get("tpu.donate_buffers") else ()
+        return jax.jit(self._make_step_fn(), donate_argnums=donate)
+
+    def _make_step_fn(self) -> Callable:
+        """The pure (un-jitted) train step; benchmark harnesses scan it."""
         model = self.model
         optimizer = self.optimizer
         slices = self._subbatch_slices()
@@ -233,8 +242,7 @@ class TrainingJob(TrainingOrEvaluationJob):
             }
             return params, opt_state, new_model_state, metrics
 
-        donate = (0, 1, 2) if self.config.get("tpu.donate_buffers") else ()
-        return jax.jit(step, donate_argnums=donate)
+        return step
 
     # ------------------------------------------------------------------ run
 
