@@ -47,35 +47,20 @@ def main(dim=200, num_entities=14541, num_relations=237, num_triples=272115):
     job = TrainingJob.create(config, dataset)
     job._prepare()
     job._is_prepared = True
-    job._train_step = job._build_train_step()
-    lrs = {g: jnp.asarray(b, dtype=jnp.float32)
-           for g, b in job.optimizer.base_lrs.items()}
-    rng = jax.random.PRNGKey(3)
-    gen = job._generate_batches(1)
-    batches = [job._put_batch(next(gen)) for _ in range(12)]
-    for batch in batches[:2]:
-        out = job._train_step(job.params, job.opt_state, job.model_state,
-                              batch, lrs, rng)
-        job.params, job.opt_state, job.model_state, metrics = out
-    jax.block_until_ready(metrics["avg_loss"])
-    steps = 10
-    t0 = time.perf_counter()
-    for i in range(steps):
-        out = job._train_step(job.params, job.opt_state, job.model_state,
-                              batches[2 + (i % 10)], lrs, rng)
-        job.params, job.opt_state, job.model_state, metrics = out
-    jax.block_until_ready(metrics["avg_loss"])
-    dt = time.perf_counter() - t0
-    # the encoder touches every edge (x2 for inverses, x2 layers) once per step
+
+    from harness import measure_steps
+
+    sec_per_step, _ = measure_steps(job, steps=16, distinct_batches=4)
+    # the encoder touches every edge (x2 for inverses) per layer per step
     num_layers = config.get("compgcn.encoder.num_layers")
     edges_per_step = num_triples * 2 * num_layers
     print(json.dumps({
         "metric": "gnn_edges_per_s_compgcn_fb15k237_scale",
-        "value": round(steps * edges_per_step / dt, 1),
+        "value": round(edges_per_step / sec_per_step, 1),
         "unit": "edges/s/chip",
         "vs_baseline": 1.0,
-        "step_ms": round(dt / steps * 1e3, 2),
-        "triples_per_s": round(steps * job.batch_size / dt, 1),
+        "step_ms": round(sec_per_step * 1e3, 2),
+        "triples_per_s": round(job.batch_size / sec_per_step, 1),
     }))
 
 

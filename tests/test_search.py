@@ -1,0 +1,97 @@
+"""Search job tests: manual/grid/sobol search over the tiny fixture."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kge_tpu import Config, Dataset
+from kge_tpu.train.job import Job
+
+from tests.util import get_dataset_folder
+
+
+def _search_config(tmp_path, search_type):
+    config = Config()
+    config.set("model", "complex")
+    config._import("complex")
+    config.set("job.device", "cpu")
+    config.set("job.type", "search")
+    config.set("search.type", search_type)
+    config.set("search.num_workers", 1)
+    config.set("dataset.name", "dataset_test")
+    config.set("train.type", "1vsAll")
+    config.set("train.max_epochs", 2)
+    config.set("train.batch_size", 4)
+    config.set("valid.every", 2)
+    config.set("valid.metric", "mean_reciprocal_rank_filtered")
+    config.set("lookup_embedder.dim", 8)
+    config.set("random_seed.default", 3)
+    config.folder = str(tmp_path / search_type)
+    os.makedirs(config.folder)
+    config.init_folder()
+    return config
+
+
+def _dataset(config):
+    return Dataset.create(config, get_dataset_folder("dataset_test"))
+
+
+def test_manual_search(tmp_path):
+    config = _search_config(tmp_path, "manual_search")
+    config.set("manual_search.configurations", [
+        {"folder": "lr01", "train.optimizer.default.args.lr": 0.1},
+        {"folder": "lr05", "train.optimizer.default.args.lr": 0.5},
+    ])
+    job = Job.create(config, _dataset(config))
+    result = job.run()
+    assert result.get("best_trial") in (0, 1)
+    for folder in ("lr01", "lr05"):
+        assert os.path.isfile(
+            os.path.join(config.folder, folder, "checkpoint_best.pt")
+        )
+
+
+def test_grid_search(tmp_path):
+    config = _search_config(tmp_path, "grid_search")
+    config.set("grid_search.parameters", {
+        "train.optimizer.default.args.lr": [0.1, 0.3],
+        "lookup_embedder.dim": [8],
+    }, create=True)
+    job = Job.create(config, _dataset(config))
+    result = job.run()
+    assert result.get("best_trial") is not None
+    subfolders = [
+        d for d in os.listdir(config.folder)
+        if os.path.isdir(os.path.join(config.folder, d)) and d != "config"
+    ]
+    assert len(subfolders) == 2
+
+
+def test_sobol_search_and_resume(tmp_path):
+    config = _search_config(tmp_path, "ax_search")
+    config.set("ax_search.num_trials", 3)
+    config.set("ax_search.parameters", [
+        {"name": "train.optimizer.default.args.lr", "type": "range",
+         "bounds": [0.01, 1.0], "log_scale": True},
+        {"name": "lookup_embedder.dim", "type": "choice", "values": [8, 16]},
+    ])
+    job = Job.create(config, _dataset(config))
+    result = job.run()
+    assert result.get("best_trial") is not None
+    assert len(job.parameters) == 3
+    # parameters landed within the search space
+    for p in job.parameters:
+        assert 0.01 <= p["train.optimizer.default.args.lr"] <= 1.0
+        assert p["lookup_embedder.dim"] in (8, 16)
+    # resume: same search regenerates the same arms and skips done trials
+    config2 = Config()
+    config2.load_options(
+        {k: v for k, v in Config.flatten(config.options).items()
+         if not k.startswith("import")},
+        create=True,
+    )
+    config2.folder = config.folder
+    job2 = Job.create(config2, _dataset(config))
+    result2 = job2.run()
+    assert [p for p in job2.parameters[:3]] == job.parameters
