@@ -66,6 +66,9 @@ def main():
     config.set("negative_sampling.shared", True)
     config.set("negative_sampling.implementation", "batch")
     config.set("train.optimizer.default.args.lr", 0.1, create=True)
+    import os as _os
+    if _os.environ.get("KGE_TPU_LOOKUP"):
+        config.set("tpu.embedding_lookup", _os.environ["KGE_TPU_LOOKUP"])
     config.set("random_seed.default", 13)
     config.set("valid.every", 0)
 

@@ -262,9 +262,26 @@ class Config:
         if new_options is not None:
             self.load_options(new_options, create=create, overwrite=overwrite)
 
+    #: renamed option keys: old name -> new name (the reference carries a
+    #: large migration table, kge/config.py:661-869; entries accrete here
+    #: as options get renamed)
+    DEPRECATED_KEYS: Dict[str, str] = {}
+
+    def _rewrite_deprecated(self, options: Dict[str, Any]) -> Dict[str, Any]:
+        flat = Config.flatten(options)
+        rewritten: Dict[str, Any] = {}
+        for key, value in flat.items():
+            new_key = Config.DEPRECATED_KEYS.get(key, key)
+            if new_key != key:
+                self.log(f"Renamed deprecated key {key} -> {new_key}")
+            rewritten[new_key] = value
+        return rewritten
+
     def load_options(self, new_options: Dict[str, Any], create: bool = False,
                      overwrite=Overwrite.Yes):
         """Like load() but from an already-parsed options dict."""
+        if Config.DEPRECATED_KEYS:
+            new_options = self._rewrite_deprecated(new_options)
         if "modules" in new_options:
             merged = list(dict.fromkeys(
                 [*self.options.get("modules", []), *new_options["modules"]]

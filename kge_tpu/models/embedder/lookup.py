@@ -44,6 +44,10 @@ class LookupEmbedder(KgeEmbedder):
         self.padded_vocab_size = (
             (self.vocab_size + model_axis - 1) // model_axis * model_axis
         )
+        try:
+            self._lookup_mode = config.get("tpu.embedding_lookup")
+        except KeyError:
+            self._lookup_mode = "auto"
         self.dropout_rate: float = self.get_option("dropout")
         if self.dropout_rate < 0:
             if config.get("train.auto_correct"):
@@ -130,7 +134,9 @@ class LookupEmbedder(KgeEmbedder):
     # ------------------------------------------------------------------ embed
 
     def embed(self, params, indexes, ctx: Ctx) -> jnp.ndarray:
-        emb = jnp.take(params["weights"], indexes, axis=0)
+        from kge_tpu.ops.embedding import embedding_lookup
+
+        emb = embedding_lookup(params["weights"], indexes, mode=self._lookup_mode)
         return ctx.dropout(emb, self.dropout_rate)
 
     def embed_all(self, params, ctx: Ctx) -> jnp.ndarray:

@@ -358,6 +358,18 @@ class TrainingJob(TrainingOrEvaluationJob):
                     os.remove(path)
 
     def run_epoch(self) -> Dict[str, Any]:
+        profile_dir = self.config.get("tpu.profile_dir")
+        profiling = bool(profile_dir) and self.epoch == 1
+        if profiling:
+            jax.profiler.start_trace(profile_dir)
+        try:
+            return self._run_epoch_inner()
+        finally:
+            if profiling:
+                jax.profiler.stop_trace()
+                self.config.log(f"Wrote device trace to {profile_dir}")
+
+    def _run_epoch_inner(self) -> Dict[str, Any]:
         for f in self.pre_epoch_hooks:
             f(self)
         if self._train_step is None:

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from kge_tpu.models import Ctx
+from kge_tpu.ops.gather import row_gather
 from kge_tpu.train.job import Job
 from kge_tpu.train.sampler import SLOT_STR, SLOTS, KgeSampler, S, P, O
 from kge_tpu.train.train import TrainingJob
@@ -149,7 +150,7 @@ class TrainingJobNegativeSampling(TrainingJob):
             else:
                 all_scores = self.model.score_so(params, s, o, p_subset=unique,
                                                  ctx=ctx)
-            return jnp.take_along_axis(all_scores, gather, axis=1)
+            return row_gather(all_scores, gather)
 
         negatives = batch[f"negatives_{key}"][sl]    # [rows, num]
         rows, num = negatives.shape
@@ -176,7 +177,7 @@ class TrainingJobNegativeSampling(TrainingJob):
                 all_scores = self.model.score_sp(params, s, p, ctx=ctx)
             else:
                 all_scores = self.model.score_so(params, s, o, ctx=ctx)
-            return jnp.take_along_axis(all_scores, negatives, axis=1)
+            return row_gather(all_scores, negatives)
         # batch: score against the flattened sample set of this subbatch
         flat = negatives.reshape(-1)                 # [rows*num]
         if slot == S:
@@ -191,7 +192,7 @@ class TrainingJobNegativeSampling(TrainingJob):
         cols = (
             jnp.arange(rows)[:, None] * num + jnp.arange(num)[None, :]
         )
-        return jnp.take_along_axis(all_scores, cols, axis=1)
+        return row_gather(all_scores, cols)
 
     def _subbatch_loss(self, params, ctx: Ctx, batch, sl):
         triples = batch["triples"][sl]

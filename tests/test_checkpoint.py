@@ -1,0 +1,79 @@
+"""Checkpoint rotation, resume, and pretrained-init tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kge_tpu import Config, Dataset
+from kge_tpu.train.job import Job
+from kge_tpu.train.train import TrainingJob
+from kge_tpu.utils.io import load_checkpoint
+
+from tests.util import create_config, get_dataset_folder
+
+
+def _job(tmp_path, name="run", **overrides):
+    config = create_config("dataset_test", model="complex")
+    config.set("train.type", "1vsAll")
+    config.set("train.batch_size", 4)
+    config.set("train.max_epochs", 7)
+    config.set("train.checkpoint.every", 2)
+    config.set("train.checkpoint.keep", 2)
+    config.set("valid.every", 0)
+    config.set("lookup_embedder.dim", 8)
+    config.set("random_seed.default", 5)
+    for k, v in overrides.items():
+        config.set(k, v, create=True)
+    config.folder = str(tmp_path / name)
+    os.makedirs(config.folder)
+    config.init_folder()
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    return TrainingJob.create(config, dataset), config, dataset
+
+
+def test_checkpoint_rotation(tmp_path):
+    job, config, _ = _job(tmp_path)
+    job.run()
+    files = sorted(f for f in os.listdir(config.folder)
+                   if f.startswith("checkpoint"))
+    # keep: init (00000), every-2 recent 2 (00004, 00006), last (00007)
+    assert "checkpoint_00000.pt" in files
+    assert "checkpoint_00007.pt" in files
+    assert "checkpoint_00006.pt" in files
+    assert "checkpoint_00004.pt" in files
+    assert "checkpoint_00002.pt" not in files
+    assert "checkpoint_00005.pt" not in files
+
+
+def test_resume_reproduces_state(tmp_path):
+    job, config, dataset = _job(tmp_path, name="a")
+    job.run()
+    checkpoint = load_checkpoint(config.checkpoint_file(7))
+    job2 = Job.create_from(checkpoint, dataset=dataset)
+    assert job2.epoch == 7
+    np.testing.assert_array_equal(
+        np.asarray(job.params["entity_embedder"]["weights"]),
+        np.asarray(job2.params["entity_embedder"]["weights"]),
+    )
+
+
+def test_pretrained_initialization(tmp_path):
+    # train + package a model, then initialize a new one from it
+    job, config, dataset = _job(tmp_path, name="base")
+    job.run()
+    from kge_tpu.utils.package import package_model
+
+    packaged = package_model(
+        config.checkpoint_file("7"),
+        os.path.join(config.folder, "model.pt"),
+    )
+    job2, config2, _ = _job(
+        tmp_path, name="pre",
+        **{"lookup_embedder.pretrain.model_filename": packaged},
+    )
+    np.testing.assert_allclose(
+        np.asarray(job.params["entity_embedder"]["weights"]),
+        np.asarray(job2.params["entity_embedder"]["weights"]),
+        rtol=1e-6,
+    )

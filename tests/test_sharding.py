@@ -73,3 +73,29 @@ def test_table_sharding_spec():
     table = job.params["entity_embedder"]["weights"]
     spec = table.sharding.spec
     assert spec[0] == "model"
+
+
+def test_sharded_training_with_validation(tmp_path):
+    """Mesh-sharded params flow through the entity-ranking eval."""
+    from tests.util import create_config, get_dataset_folder
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+
+    config = create_config("dataset_test", model="complex")
+    config.set("train.type", "1vsAll")
+    config.set("train.batch_size", 8)
+    config.set("train.max_epochs", 2)
+    config.set("valid.every", 2)
+    config.set("valid.metric", "mean_reciprocal_rank_filtered")
+    config.set("lookup_embedder.dim", 16)
+    config.set("tpu.mesh.data", 4)
+    config.set("tpu.mesh.model", 2)
+    config.folder = str(tmp_path / "run")
+    import os
+    os.makedirs(config.folder)
+    config.init_folder()
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    job = TrainingJob.create(config, dataset)
+    job.run()
+    assert len(job.valid_trace) == 1
+    assert 0.0 <= job.valid_trace[0]["mean_reciprocal_rank_filtered"] <= 1.0
