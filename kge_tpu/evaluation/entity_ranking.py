@@ -75,8 +75,12 @@ class EntityRankingJob(EvaluationJob):
             self.hist_hooks.append(hist_per_relation_type)
         if self.config.get("entity_ranking.metrics_per.argument_frequency"):
             self.hist_hooks.append(hist_per_frequency_percentile)
+        self.implementation = self.config.check(
+            "entity_ranking.implementation", ["auto", "generic", "fused"]
+        )
         self._chunk_fn = None
         self._true_fn = None
+        self._fused_query_fn = None
         self._spo_fn = None  # None: untested, False: unsupported
         if self.__class__ == EntityRankingJob:
             for f in Job.job_created_hooks:
@@ -118,11 +122,16 @@ class EntityRankingJob(EvaluationJob):
         def pad(rows_list, vals_list):
             rows = np.concatenate(rows_list) if rows_list else np.zeros(0, int)
             vals = np.concatenate(vals_list) if vals_list else np.zeros(0, int)
+            # dedupe (row, val) pairs: splits can repeat answers, and the
+            # fused path subtracts per coordinate
+            if len(rows):
+                enc = rows.astype(np.int64) * (2 ** 31) + vals
+                enc = np.unique(enc)
+                rows = (enc // (2 ** 31)).astype(np.int64)
+                vals = (enc % (2 ** 31)).astype(np.int64)
             counts = np.bincount(rows, minlength=B).astype(np.int64)
             L = _bucket(int(counts.max()) if len(counts) else 1)
             out = np.full((B, L), 2 ** 30, dtype=np.int32)
-            order = np.argsort(rows, kind="stable")
-            rows, vals = rows[order], vals[order]
             col = np.concatenate([np.arange(c) for c in counts if c > 0]) \
                 if len(vals) else np.zeros(0, dtype=np.int64)
             out[rows, col] = vals
@@ -241,12 +250,116 @@ class EntityRankingJob(EvaluationJob):
 
         return jax.jit(chunk_counts, static_argnames=())
 
+    # -------------------------------------------------------------- fused path
+
+    def _build_fused_query_fn(self):
+        """Per-batch: dot-form queries + coordinate-count subtractions.
+
+        Filtering by counting: instead of masking label positions to
+        -inf in a dense score matrix, score ONLY the label coordinates
+        and subtract their greater/tie contributions from the raw chunk
+        counts — same semantics, no [B, E] materialization at all."""
+        model = self.model
+        atol, rtol = self.tie_atol, self.tie_rtol
+        num_entities = self.dataset.num_entities()
+
+        def fn(params, model_state, s, p, o, coords_sp, coords_po,
+               o_true, s_true):
+            with jax.default_matmul_precision("highest"):
+                ctx = Ctx(train=False, state=model_state)
+                q_sp, q_po = model.dot_queries(params, s, p, o, ctx=ctx)
+
+                def coord_counts(q, coords, true, side):
+                    # coords: [V, B, L] global entity ids (2^30 padding)
+                    valid = coords < num_entities
+                    ids = jnp.minimum(coords, num_entities - 1)
+                    cand_sp, cand_po = model.dot_candidates(
+                        params, ids, ctx=ctx
+                    )
+                    cand = cand_sp if side == "sp" else cand_po
+                    # scores[v, b, l] = q[b] . cand[v, b, l]
+                    scores = jnp.einsum("bd,vbld->vbl", q, cand)
+                    t = true[None, :, None]
+                    is_close = jnp.abs(scores - t) <= atol + rtol * jnp.abs(t)
+                    is_greater = (scores > t) & ~is_close
+                    sub_rank = jnp.sum(is_greater & valid, axis=2,
+                                       dtype=jnp.int32)
+                    sub_ties = jnp.sum(is_close & valid, axis=2,
+                                       dtype=jnp.int32)
+                    return sub_rank, sub_ties  # [V, B]
+
+                sp_sub = coord_counts(q_sp, coords_sp, o_true, "sp")
+                po_sub = coord_counts(q_po, coords_po, s_true, "po")
+                return q_sp, q_po, sp_sub, po_sub
+
+        return jax.jit(fn)
+
+    def _fused_counts(self, params, model_state, q_sp, q_po, o_true, s_true,
+                      chunk_size: int):
+        """Raw greater/tie counts over all entities via the fused Pallas
+        rank-count kernel, chunked over the entity axis."""
+        from kge_tpu.ops.pallas.rank_count import rank_counts
+
+        num_entities = self.dataset.num_entities()
+        interpret = jax.default_backend() == "cpu"
+        model = self.model
+        B = q_sp.shape[0]
+        totals = np.zeros((4, B), dtype=np.int64)
+
+        @jax.jit
+        def cand_fn(params, model_state, ids):
+            with jax.default_matmul_precision("highest"):
+                ctx = Ctx(train=False, state=model_state)
+                return model.dot_candidates(params, ids, ctx=ctx)
+
+        for start in range(0, num_entities, chunk_size):
+            ids = np.arange(start, min(start + chunk_size, num_entities))
+            valid = jnp.ones(len(ids), jnp.float32)
+            cand_sp, cand_po = cand_fn(
+                params, model_state, jnp.asarray(ids.astype(np.int32))
+            )
+            r, t = rank_counts(q_sp, cand_sp, o_true, valid,
+                               atol=self.tie_atol, rtol=self.tie_rtol,
+                               interpret=interpret)
+            totals[0] += np.asarray(r, dtype=np.int64)
+            totals[1] += np.asarray(t, dtype=np.int64)
+            r, t = rank_counts(q_po, cand_po, s_true, valid,
+                               atol=self.tie_atol, rtol=self.tie_rtol,
+                               interpret=interpret)
+            totals[2] += np.asarray(r, dtype=np.int64)
+            totals[3] += np.asarray(t, dtype=np.int64)
+        return totals
+
     def _final_ranks(self, rank: np.ndarray, ties: np.ndarray) -> np.ndarray:
         if self.tie_handling == "rounded_mean_rank":
             return rank + ties // 2
         if self.tie_handling == "best_rank":
             return rank
         return rank + np.maximum(ties - 1, 0)
+
+    def _accumulate_batch(self, hists, rankings, totals, batch,
+                          example_traces, B):
+        """Finalize ranks per variant, update histograms + example traces."""
+        s_np, p_np, o_np = batch[:, 0], batch[:, 1], batch[:, 2]
+        batch_ranks = {}
+        for v, suffix in enumerate(rankings):
+            o_rank = self._final_ranks(totals[v, 0], totals[v, 1])
+            s_rank = self._final_ranks(totals[v, 2], totals[v, 3])
+            batch_ranks[suffix] = (s_rank, o_rank)
+            for f in self.hist_hooks:
+                f(hists[v], s_np, p_np, o_np, s_rank, o_rank, job=self)
+        if self.trace_examples:
+            for i in range(B):
+                entry = dict(
+                    type="entity_ranking", scope="example",
+                    split=self.eval_split, epoch=self.epoch,
+                    s=int(s_np[i]), p=int(p_np[i]), o=int(o_np[i]),
+                )
+                for suffix in rankings:
+                    s_rank, o_rank = batch_ranks[suffix]
+                    entry[f"rank_s{suffix}"] = int(s_rank[i]) + 1
+                    entry[f"rank_o{suffix}"] = int(o_rank[i]) + 1
+                example_traces.append(entry)
 
     # ------------------------------------------------------------------ evaluate
 
@@ -269,6 +382,11 @@ class EntityRankingJob(EvaluationJob):
 
         chunk_size = self.chunk_size if self.chunk_size > 0 else num_entities
         num_chunks = math.ceil(num_entities / chunk_size)
+        use_fused = self.implementation == "fused" or (
+            self.implementation == "auto"
+            and hasattr(self.model, "supports_dot_ranking")
+            and self.model.supports_dot_ranking()
+        )
 
         hists: List[Dict[str, np.ndarray]] = [dict() for _ in rankings]
         epoch_time = -time.time()
@@ -298,15 +416,12 @@ class EntityRankingJob(EvaluationJob):
                 params, model_state, s, p, o, o_true, s_true
             )
 
-            # label coordinates per filtered ranking
+            # label coordinates per filtered ranking (deduped per row)
             coord_sets = [self._collect_coords(batch, self.filter_splits)]
             if filter_with_test:
-                sp_f, po_f = coord_sets[0]
-                sp_t, po_t = self._collect_coords(batch, ["test"])
-                coord_sets.append((
-                    np.concatenate([sp_f, sp_t], axis=1),
-                    np.concatenate([po_f, po_t], axis=1),
-                ))
+                coord_sets.append(
+                    self._collect_coords(batch, self.filter_splits + ["test"])
+                )
             # pad coordinate arrays to a common bucketed width
             L = _bucket(max(cs[0].shape[1] for cs in coord_sets) if coord_sets
                         else 1)
@@ -323,6 +438,34 @@ class EntityRankingJob(EvaluationJob):
             coords_po = np.stack([pad_to(cs[1], Lp) for cs in coord_sets])
 
             totals = np.zeros((len(rankings), 4, B), dtype=np.int64)
+            if use_fused:
+                if self._fused_query_fn is None:
+                    self._fused_query_fn = self._build_fused_query_fn()
+                q_sp, q_po, sp_sub, po_sub = self._fused_query_fn(
+                    params, model_state, s, p, o,
+                    jnp.asarray(coords_sp), jnp.asarray(coords_po),
+                    o_true, s_true,
+                )
+                raw = self._fused_counts(
+                    params, model_state, q_sp, q_po, o_true, s_true,
+                    chunk_size,
+                )
+                totals[0] = raw
+                sp_sub_r, sp_sub_t = (np.asarray(x, dtype=np.int64)
+                                      for x in sp_sub)
+                po_sub_r, po_sub_t = (np.asarray(x, dtype=np.int64)
+                                      for x in po_sub)
+                for k in range(len(rankings) - 1):
+                    totals[k + 1, 0] = raw[0] - sp_sub_r[k]
+                    totals[k + 1, 1] = raw[1] - sp_sub_t[k]
+                    totals[k + 1, 2] = raw[2] - po_sub_r[k]
+                    totals[k + 1, 3] = raw[3] - po_sub_t[k]
+                self._accumulate_batch(
+                    hists, rankings, totals, batch, example_traces, B
+                )
+                for f in self.post_batch_hooks:
+                    f(self)
+                continue
             for c in range(num_chunks):
                 chunk_start = c * chunk_size
                 ids = np.arange(chunk_start, chunk_start + chunk_size)
@@ -338,28 +481,9 @@ class EntityRankingJob(EvaluationJob):
                 )
                 totals += np.asarray(counts, dtype=np.int64)
 
-            # finalize ranks per variant and update histograms
-            s_np, p_np, o_np = batch[:, 0], batch[:, 1], batch[:, 2]
-            batch_ranks = {}
-            for v, suffix in enumerate(rankings):
-                o_rank = self._final_ranks(totals[v, 0], totals[v, 1])
-                s_rank = self._final_ranks(totals[v, 2], totals[v, 3])
-                batch_ranks[suffix] = (s_rank, o_rank)
-                for f in self.hist_hooks:
-                    f(hists[v], s_np, p_np, o_np, s_rank, o_rank, job=self)
-
-            if self.trace_examples:
-                for i in range(B):
-                    entry = dict(
-                        type="entity_ranking", scope="example",
-                        split=self.eval_split, epoch=self.epoch,
-                        s=int(s_np[i]), p=int(p_np[i]), o=int(o_np[i]),
-                    )
-                    for suffix in rankings:
-                        s_rank, o_rank = batch_ranks[suffix]
-                        entry[f"rank_s{suffix}"] = int(s_rank[i]) + 1
-                        entry[f"rank_o{suffix}"] = int(o_rank[i]) + 1
-                    example_traces.append(entry)
+            self._accumulate_batch(
+                hists, rankings, totals, batch, example_traces, B
+            )
             for f in self.post_batch_hooks:
                 f(self)
 

@@ -106,7 +106,25 @@ class RelationalScorer(KgeBase):
 
     Subclasses implement ``score_emb`` for the matmul-friendly combines
     and may fall back to the generic cross-product here for the rest.
+
+    Bilinear scorers additionally expose the *dot form*
+    (``supports_dot_form = True``): for combine "sp_" (fixed=(s,p)) or
+    "_po" (fixed=(p,o)), scores factor as ``query_vec(fixed) @
+    candidate_vec(cand).T`` — the contract the fused Pallas rank-count
+    evaluation kernel builds on.
     """
+
+    supports_dot_form = False
+
+    def query_vec(self, params, a_emb, p_emb, combine: str,
+                  ctx: Ctx) -> jnp.ndarray:
+        """Query-side vectors: a_emb is s for 'sp_' and o for '_po'."""
+        raise NotImplementedError
+
+    def candidate_vec(self, params, cand_emb, combine: str,
+                      ctx: Ctx) -> jnp.ndarray:
+        """Candidate-side vectors for the free slot of ``combine``."""
+        raise NotImplementedError
 
     def score_emb_spo(self, params, s_emb, p_emb, o_emb, ctx: Ctx) -> jnp.ndarray:
         return self.score_emb(params, s_emb, p_emb, o_emb, "spo", ctx).reshape(-1)
@@ -425,6 +443,29 @@ class KgeModel(KgeBase):
         return self._scorer.score_emb(
             params["scorer"], s_emb, p_emb, o_emb, "s_o", ctx
         )
+
+    # ------------------------------------------------------------------ dot forms
+
+    def supports_dot_ranking(self) -> bool:
+        return self._scorer.supports_dot_form
+
+    def dot_queries(self, params, s, p, o, ctx: Ctx):
+        """(q_sp [B, D1], q_po [B, D2]) such that ranking scores factor
+        as q @ dot_candidates(ids).T — the fused rank-count contract."""
+        s_emb = self.get_s_embedder().embed(params["entity_embedder"], s, ctx)
+        p_emb = self.get_p_embedder().embed(params["relation_embedder"], p, ctx)
+        o_emb = self.get_o_embedder().embed(params["entity_embedder"], o, ctx)
+        q_sp = self._scorer.query_vec(params["scorer"], s_emb, p_emb, "sp_", ctx)
+        q_po = self._scorer.query_vec(params["scorer"], o_emb, p_emb, "_po", ctx)
+        return q_sp, q_po
+
+    def dot_candidates(self, params, entity_ids, ctx: Ctx):
+        """(cand_sp, cand_po) candidate matrices for the given entities."""
+        emb = self.get_s_embedder().embed(params["entity_embedder"],
+                                          entity_ids, ctx)
+        cand_sp = self._scorer.candidate_vec(params["scorer"], emb, "sp_", ctx)
+        cand_po = self._scorer.candidate_vec(params["scorer"], emb, "_po", ctx)
+        return cand_sp, cand_po
 
     def score_sp_po(self, params, s, p, o, entity_subset=None,
                     ctx: Optional[Ctx] = None) -> jnp.ndarray:

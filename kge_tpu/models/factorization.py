@@ -18,6 +18,14 @@ from kge_tpu.models.embedder.projection import rescal_set_relation_embedder_dim
 class DistMultScorer(RelationalScorer):
     """score = <s, p, o> (ternary dot product)."""
 
+    supports_dot_form = True
+
+    def query_vec(self, params, a_emb, p_emb, combine, ctx):
+        return a_emb * p_emb
+
+    def candidate_vec(self, params, cand_emb, combine, ctx):
+        return cand_emb
+
     def score_emb(self, params, s_emb, p_emb, o_emb, combine, ctx: Ctx):
         n = p_emb.shape[0]
         if combine == "spo":
@@ -35,6 +43,32 @@ class ComplExScorer(RelationalScorer):
     """ComplEx via the Hadamard column-block trick (Trouillon et al. 2016,
     Eq. 11): stack (re, im, re, im) blocks so the score is one real
     elementwise product + reduction/matmul."""
+
+    supports_dot_form = True
+
+    @staticmethod
+    def _blocks(p_emb):
+        half = p_emb.shape[1] // 2
+        p_re, p_im = p_emb[:, :half], p_emb[:, half:]
+        return jnp.concatenate([p_re, p_emb, -p_im], axis=1)
+
+    def query_vec(self, params, a_emb, p_emb, combine, ctx):
+        r_all = self._blocks(p_emb)
+        if combine == "sp_":
+            s_all = jnp.concatenate([a_emb, a_emb], axis=1)
+            return s_all * r_all
+        half = a_emb.shape[1] // 2
+        o_re, o_im = a_emb[:, :half], a_emb[:, half:]
+        o_all = jnp.concatenate([a_emb, o_im, o_re], axis=1)
+        return r_all * o_all
+
+    def candidate_vec(self, params, cand_emb, combine, ctx):
+        if combine == "sp_":
+            half = cand_emb.shape[-1] // 2
+            c_re = cand_emb[..., :half]
+            c_im = cand_emb[..., half:]
+            return jnp.concatenate([cand_emb, c_im, c_re], axis=-1)
+        return jnp.concatenate([cand_emb, cand_emb], axis=-1)
 
     def score_emb(self, params, s_emb, p_emb, o_emb, combine, ctx: Ctx):
         n = p_emb.shape[0]
@@ -59,6 +93,20 @@ class CPScorer(RelationalScorer):
     """Canonical Polyadic: subject uses the first embedding half, object
     the second."""
 
+    supports_dot_form = True
+
+    def query_vec(self, params, a_emb, p_emb, combine, ctx):
+        half = a_emb.shape[1] // 2
+        if combine == "sp_":
+            return a_emb[:, :half] * p_emb
+        return a_emb[:, half:] * p_emb
+
+    def candidate_vec(self, params, cand_emb, combine, ctx):
+        half = cand_emb.shape[-1] // 2
+        if combine == "sp_":
+            return cand_emb[..., half:]
+        return cand_emb[..., :half]
+
     def score_emb(self, params, s_emb, p_emb, o_emb, combine, ctx: Ctx):
         n = p_emb.shape[0]
         half = s_emb.shape[1] // 2
@@ -78,6 +126,23 @@ class CPScorer(RelationalScorer):
 class SimplEScorer(RelationalScorer):
     """SimplE: average of forward (head-half) and backward (tail-half)
     CP scores."""
+
+    supports_dot_form = True
+
+    def query_vec(self, params, a_emb, p_emb, combine, ctx):
+        half = a_emb.shape[1] // 2
+        a_h, a_t = a_emb[:, :half], a_emb[:, half:]
+        p_f, p_b = p_emb[:, :half], p_emb[:, half:]
+        if combine == "sp_":
+            return jnp.concatenate([a_h * p_f, a_t * p_b], axis=1) / 2.0
+        return jnp.concatenate([a_t * p_f, a_h * p_b], axis=1) / 2.0
+
+    def candidate_vec(self, params, cand_emb, combine, ctx):
+        half = cand_emb.shape[-1] // 2
+        c_h, c_t = cand_emb[..., :half], cand_emb[..., half:]
+        if combine == "sp_":
+            return jnp.concatenate([c_t, c_h], axis=-1)
+        return jnp.concatenate([c_h, c_t], axis=-1)
 
     def score_emb(self, params, s_emb, p_emb, o_emb, combine, ctx: Ctx):
         n = p_emb.shape[0]
@@ -101,6 +166,18 @@ class SimplEScorer(RelationalScorer):
 
 class RescalScorer(RelationalScorer):
     """score = s^T M_p o with per-relation mixing matrix M_p."""
+
+    supports_dot_form = True
+
+    def query_vec(self, params, a_emb, p_emb, combine, ctx):
+        dim = a_emb.shape[-1]
+        p_mix = p_emb.reshape(-1, dim, dim)
+        if combine == "sp_":
+            return jnp.einsum("nd,nde->ne", a_emb, p_mix)
+        return jnp.einsum("nde,ne->nd", p_mix, a_emb)
+
+    def candidate_vec(self, params, cand_emb, combine, ctx):
+        return cand_emb
 
     def score_emb(self, params, s_emb, p_emb, o_emb, combine, ctx: Ctx):
         n = p_emb.shape[0]

@@ -87,6 +87,29 @@ class ReciprocalRelationsModel(KgeModel):
     def score_so(self, params, s, o, p_subset=None, ctx=None):
         raise ValueError("the reciprocal relations model cannot score relations")
 
+    def supports_dot_ranking(self) -> bool:
+        return self._scorer.supports_dot_form
+
+    def dot_queries(self, params, s, p, o, ctx=None):
+        ctx = ctx or Ctx()
+        s_emb = self.get_s_embedder().embed(params["entity_embedder"], s, ctx)
+        p_emb = self.get_p_embedder().embed(params["relation_embedder"], p, ctx)
+        p_inv = self.get_p_embedder().embed(
+            params["relation_embedder"], p + self.dataset.num_relations(), ctx
+        )
+        o_emb = self.get_o_embedder().embed(params["entity_embedder"], o, ctx)
+        q_sp = self._scorer.query_vec(params["scorer"], s_emb, p_emb, "sp_", ctx)
+        q_po = self._scorer.query_vec(params["scorer"], o_emb, p_inv, "sp_", ctx)
+        return q_sp, q_po
+
+    def dot_candidates(self, params, entity_ids, ctx=None):
+        ctx = ctx or Ctx()
+        emb = self.get_s_embedder().embed(
+            params["entity_embedder"], entity_ids, ctx
+        )
+        cand = self._scorer.candidate_vec(params["scorer"], emb, "sp_", ctx)
+        return cand, cand
+
     def score_sp_po(self, params, s, p, o, entity_subset=None, ctx=None):
         ctx = ctx or Ctx()
         s_emb = self.get_s_embedder().embed(params["entity_embedder"], s, ctx)

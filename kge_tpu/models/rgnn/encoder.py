@@ -306,6 +306,10 @@ class KgeRgnnModel(KgeModel):
     def get_rgnn_encoder(self) -> RgnnEncoder:
         return self._encoder
 
+    def supports_dot_ranking(self) -> bool:
+        # dot-form ranking would bypass the encoder; use the generic path
+        return False
+
     def set_graph(self, triples):
         self._encoder.set_graph(triples)
 

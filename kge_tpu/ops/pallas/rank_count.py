@@ -1,0 +1,118 @@
+"""Fused score + rank-count Pallas kernel for entity-ranking evaluation.
+
+Entity ranking needs, per query row, only two numbers against each
+candidate chunk: how many candidate scores are strictly greater than the
+true score (beyond tie tolerance) and how many tie with it (reference
+semantics: kge/job/eval_entity_ranking.py:571-596). The scores
+themselves are never needed — so this kernel fuses the [B, D] x [D, C]
+score matmul (MXU) with the compare-and-accumulate (VPU) per candidate
+tile, keeping the [B, C] score matrix entirely in VMEM tiles instead of
+round-tripping it through HBM.
+
+Works for every scorer with a dot form (ComplEx, DistMult, CP, SimplE,
+RESCAL, Transformer/ConvE feature dots): scores = q @ cand^T.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, cand_ref, true_ref, cvalid_ref, rank_ref, ties_ref,
+            *, atol: float, rtol: float):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        rank_ref[:] = jnp.zeros_like(rank_ref)
+        ties_ref[:] = jnp.zeros_like(ties_ref)
+
+    scores = jax.lax.dot_general(
+        q_ref[:], cand_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TB, TC]
+    true = true_ref[:]          # [TB, 1]
+    valid = cvalid_ref[:]       # [1, TC]
+    is_close = jnp.abs(scores - true) <= atol + rtol * jnp.abs(true)
+    is_greater = (scores > true) & jnp.logical_not(is_close)
+    mask = valid > 0
+    rank_ref[:] += jnp.sum(
+        jnp.where(is_greater & mask, 1, 0), axis=1, keepdims=True
+    ).astype(jnp.int32)
+    ties_ref[:] += jnp.sum(
+        jnp.where(is_close & mask, 1, 0), axis=1, keepdims=True
+    ).astype(jnp.int32)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("atol", "rtol", "interpret", "tb", "tc")
+)
+def rank_counts(q: jnp.ndarray, cand: jnp.ndarray, true: jnp.ndarray,
+                cand_valid: jnp.ndarray, atol: float = 1e-5,
+                rtol: float = 1e-4, interpret: bool = False,
+                tb: int = 256, tc: int = 2048):
+    """(rank [B], ties [B]) of ``true`` within ``q @ cand^T`` scores.
+
+    ``cand_valid`` masks padded candidate rows. NaN scores compare as
+    -inf per the reference's NaN handling (the caller replaces NaN true
+    scores beforehand; q/cand are assumed finite).
+    """
+    B, D = q.shape
+    C = cand.shape[0]
+    Bp, Cp = _round_up(B, tb), _round_up(C, tc)
+    q_p = jnp.zeros((Bp, D), q.dtype).at[:B].set(q)
+    cand_p = jnp.zeros((Cp, D), cand.dtype).at[:C].set(cand)
+    true_p = jnp.full((Bp, 1), jnp.inf, jnp.float32).at[:B, 0].set(true)
+    cvalid_p = jnp.zeros((1, Cp), jnp.float32).at[0, :C].set(
+        cand_valid.astype(jnp.float32)
+    )
+    grid = (Bp // tb, Cp // tc)
+    rank, ties = pl.pallas_call(
+        functools.partial(_kernel, atol=atol, rtol=rtol),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_p, cand_p, true_p, cvalid_p)
+    return rank[:B, 0], ties[:B, 0]
+
+
+def rank_counts_xla(q, cand, true, cand_valid, atol=1e-5, rtol=1e-4):
+    """Reference XLA implementation (and CPU fallback)."""
+    scores = q @ cand.T
+    t = true[:, None]
+    is_close = jnp.abs(scores - t) <= atol + rtol * jnp.abs(t)
+    is_greater = (scores > t) & ~is_close
+    mask = cand_valid[None, :] > 0
+    rank = jnp.sum(is_greater & mask, axis=1, dtype=jnp.int32)
+    ties = jnp.sum(is_close & mask, axis=1, dtype=jnp.int32)
+    return rank, ties

@@ -124,3 +124,47 @@ def test_drilldown_metrics():
     assert any(k.endswith("_1-1") or k.endswith("_1-N") or k.endswith("_M-1")
                or k.endswith("_M-N") for k in trace)
     assert "mean_reciprocal_rank_subject_top" in trace
+
+
+@pytest.mark.parametrize("model_name", ["complex", "distmult", "rescal",
+                                        "simple", "cp"])
+def test_fused_matches_generic(model_name):
+    """The fused Pallas rank-count path must reproduce the generic
+    chunked-masking path exactly."""
+    traces = {}
+    for impl in ("generic", "fused"):
+        config, dataset, model, params, job = _setup(model_name=model_name)
+        config.set("entity_ranking.implementation", impl)
+        config.set("entity_ranking.chunk_size", 3)
+        job2 = EvaluationJob.create(config, dataset, model=model)
+        # identical params across runs
+        import jax as _jax
+        params = model.init_params(_jax.random.PRNGKey(123))
+        job2.set_params(params, model.init_state())
+        traces[impl] = job2.run()
+    for key in traces["generic"]:
+        if key.startswith(("mean_", "hits_")):
+            np.testing.assert_allclose(
+                traces["generic"][key], traces["fused"][key],
+                rtol=1e-6, err_msg=key,
+            )
+
+
+def test_fused_reciprocal_conve_falls_back():
+    """Non-bilinear scorers use the generic path under auto."""
+    config = create_config("dataset_test", model="conve")
+    config._import("reciprocal_relations_model")
+    config.set("reciprocal_relations_model.base_model.type", "conve")
+    config.set("model", "reciprocal_relations_model")
+    config.set("job.type", "eval")
+    config.set("eval.split", "test")
+    config.set("conve.round_dim", True)
+    config.set("conve.entity_embedder.dim", 32, create=True)
+    config.set("conve.relation_embedder.dim", 32, create=True)
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    model = KgeModel.create(config, dataset)
+    job = EvaluationJob.create(config, dataset, model=model)
+    job.set_params(model.init_params(jax.random.PRNGKey(1)),
+                   model.init_state())
+    trace = job.run()
+    assert "mean_reciprocal_rank_filtered" in trace
