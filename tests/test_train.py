@@ -97,3 +97,22 @@ def test_weighted_regularization_and_scheduler():
     trace = job.run()
     assert np.isfinite(trace["avg_cost"])
     assert trace["avg_penalty"] > 0
+
+
+def test_kvsall_query_types():
+    """All three KvsAll query types incl. relation prediction (s_o)."""
+    job = _make_job("KvsAll", extra={
+        "KvsAll.query_types.sp_": True,
+        "KvsAll.query_types._po": True,
+        "KvsAll.query_types.s_o": True,
+        "KvsAll.label_smoothing": 0.3,
+    })
+    trace = job.run()
+    assert np.isfinite(trace["avg_loss"])
+    # examples = unique sp + po + so keys
+    dataset = job.dataset
+    expected = sum(
+        len(dataset.index(f"train_{k}")) for k in
+        ("sp_to_o", "po_to_s", "so_to_p")
+    )
+    assert job.num_examples == expected
