@@ -145,13 +145,13 @@ class EntityRankingJob(EvaluationJob):
         model = self.model
 
         def true_scores(params, model_state, s, p, o):
-            ctx = Ctx(train=False, state=model_state)
-            n = s.shape[0]
-            o_true = self.model.score_sp(params, s, p, o_subset=o, ctx=ctx)
-            o_true = jnp.diagonal(o_true)
-            s_true = model.score_po(params, p, o, s_subset=s, ctx=ctx)
-            s_true = jnp.diagonal(s_true)
-            return o_true, s_true
+            with jax.default_matmul_precision("highest"):
+                ctx = Ctx(train=False, state=model_state)
+                o_true = self.model.score_sp(params, s, p, o_subset=o, ctx=ctx)
+                o_true = jnp.diagonal(o_true)
+                s_true = model.score_po(params, p, o, s_subset=s, ctx=ctx)
+                s_true = jnp.diagonal(s_true)
+                return o_true, s_true
 
         return jax.jit(true_scores)
 
@@ -252,83 +252,80 @@ class EntityRankingJob(EvaluationJob):
 
     # -------------------------------------------------------------- fused path
 
-    def _build_fused_query_fn(self):
-        """Per-batch: dot-form queries + coordinate-count subtractions.
+    def _build_fused_batch_fn(self, num_rankings: int, chunk_size: int):
+        """ONE compiled program per batch: dot-form queries, fused
+        Pallas rank counting over all entities (scanned in chunks), and
+        filtering by coordinate-count subtraction.
 
         Filtering by counting: instead of masking label positions to
         -inf in a dense score matrix, score ONLY the label coordinates
-        and subtract their greater/tie contributions from the raw chunk
+        and subtract their greater/tie contributions from the raw
         counts — same semantics, no [B, E] materialization at all."""
+        from kge_tpu.ops.pallas.rank_count import rank_counts
+
         model = self.model
         atol, rtol = self.tie_atol, self.tie_rtol
         num_entities = self.dataset.num_entities()
+        interpret = jax.default_backend() == "cpu"
+        num_chunks = math.ceil(num_entities / chunk_size)
 
         def fn(params, model_state, s, p, o, coords_sp, coords_po,
                o_true, s_true):
             with jax.default_matmul_precision("highest"):
                 ctx = Ctx(train=False, state=model_state)
                 q_sp, q_po = model.dot_queries(params, s, p, o, ctx=ctx)
+                B = q_sp.shape[0]
+
+                def raw_counts(chunk_idx, acc):
+                    start = chunk_idx * chunk_size
+                    ids = start + jnp.arange(chunk_size, dtype=jnp.int32)
+                    valid = (ids < num_entities).astype(jnp.float32)
+                    ids = jnp.minimum(ids, num_entities - 1)
+                    cand_sp, cand_po = model.dot_candidates(
+                        params, ids, ctx=ctx
+                    )
+                    r0, t0 = rank_counts(q_sp, cand_sp, o_true, valid,
+                                         atol=atol, rtol=rtol,
+                                         interpret=interpret)
+                    r1, t1 = rank_counts(q_po, cand_po, s_true, valid,
+                                         atol=atol, rtol=rtol,
+                                         interpret=interpret)
+                    return acc + jnp.stack([r0, t0, r1, t1]).astype(jnp.int32)
+
+                raw = jax.lax.fori_loop(
+                    0, num_chunks, raw_counts,
+                    jnp.zeros((4, B), jnp.int32),
+                )
 
                 def coord_counts(q, coords, true, side):
-                    # coords: [V, B, L] global entity ids (2^30 padding)
+                    # coords: [V-1, B, L] global entity ids (2^30 padding)
                     valid = coords < num_entities
                     ids = jnp.minimum(coords, num_entities - 1)
                     cand_sp, cand_po = model.dot_candidates(
                         params, ids, ctx=ctx
                     )
                     cand = cand_sp if side == "sp" else cand_po
-                    # scores[v, b, l] = q[b] . cand[v, b, l]
                     scores = jnp.einsum("bd,vbld->vbl", q, cand)
                     t = true[None, :, None]
                     is_close = jnp.abs(scores - t) <= atol + rtol * jnp.abs(t)
                     is_greater = (scores > t) & ~is_close
-                    sub_rank = jnp.sum(is_greater & valid, axis=2,
-                                       dtype=jnp.int32)
-                    sub_ties = jnp.sum(is_close & valid, axis=2,
-                                       dtype=jnp.int32)
-                    return sub_rank, sub_ties  # [V, B]
+                    return (jnp.sum(is_greater & valid, axis=2,
+                                    dtype=jnp.int32),
+                            jnp.sum(is_close & valid, axis=2,
+                                    dtype=jnp.int32))
 
-                sp_sub = coord_counts(q_sp, coords_sp, o_true, "sp")
-                po_sub = coord_counts(q_po, coords_po, s_true, "po")
-                return q_sp, q_po, sp_sub, po_sub
+                sp_sub_r, sp_sub_t = coord_counts(q_sp, coords_sp, o_true, "sp")
+                po_sub_r, po_sub_t = coord_counts(q_po, coords_po, s_true, "po")
+                # totals[v, 4, B]: v=0 raw, v>0 filtered by subtraction
+                totals = [raw]
+                for k in range(num_rankings - 1):
+                    totals.append(jnp.stack([
+                        raw[0] - sp_sub_r[k], raw[1] - sp_sub_t[k],
+                        raw[2] - po_sub_r[k], raw[3] - po_sub_t[k],
+                    ]))
+                return jnp.stack(totals)
 
         return jax.jit(fn)
-
-    def _fused_counts(self, params, model_state, q_sp, q_po, o_true, s_true,
-                      chunk_size: int):
-        """Raw greater/tie counts over all entities via the fused Pallas
-        rank-count kernel, chunked over the entity axis."""
-        from kge_tpu.ops.pallas.rank_count import rank_counts
-
-        num_entities = self.dataset.num_entities()
-        interpret = jax.default_backend() == "cpu"
-        model = self.model
-        B = q_sp.shape[0]
-        totals = np.zeros((4, B), dtype=np.int64)
-
-        @jax.jit
-        def cand_fn(params, model_state, ids):
-            with jax.default_matmul_precision("highest"):
-                ctx = Ctx(train=False, state=model_state)
-                return model.dot_candidates(params, ids, ctx=ctx)
-
-        for start in range(0, num_entities, chunk_size):
-            ids = np.arange(start, min(start + chunk_size, num_entities))
-            valid = jnp.ones(len(ids), jnp.float32)
-            cand_sp, cand_po = cand_fn(
-                params, model_state, jnp.asarray(ids.astype(np.int32))
-            )
-            r, t = rank_counts(q_sp, cand_sp, o_true, valid,
-                               atol=self.tie_atol, rtol=self.tie_rtol,
-                               interpret=interpret)
-            totals[0] += np.asarray(r, dtype=np.int64)
-            totals[1] += np.asarray(t, dtype=np.int64)
-            r, t = rank_counts(q_po, cand_po, s_true, valid,
-                               atol=self.tie_atol, rtol=self.tie_rtol,
-                               interpret=interpret)
-            totals[2] += np.asarray(r, dtype=np.int64)
-            totals[3] += np.asarray(t, dtype=np.int64)
-        return totals
 
     def _final_ranks(self, rank: np.ndarray, ties: np.ndarray) -> np.ndarray:
         if self.tie_handling == "rounded_mean_rank":
@@ -440,26 +437,17 @@ class EntityRankingJob(EvaluationJob):
             totals = np.zeros((len(rankings), 4, B), dtype=np.int64)
             if use_fused:
                 if self._fused_query_fn is None:
-                    self._fused_query_fn = self._build_fused_query_fn()
-                q_sp, q_po, sp_sub, po_sub = self._fused_query_fn(
-                    params, model_state, s, p, o,
-                    jnp.asarray(coords_sp), jnp.asarray(coords_po),
-                    o_true, s_true,
+                    self._fused_query_fn = self._build_fused_batch_fn(
+                        len(rankings), chunk_size
+                    )
+                totals = np.asarray(
+                    self._fused_query_fn(
+                        params, model_state, s, p, o,
+                        jnp.asarray(coords_sp), jnp.asarray(coords_po),
+                        o_true, s_true,
+                    ),
+                    dtype=np.int64,
                 )
-                raw = self._fused_counts(
-                    params, model_state, q_sp, q_po, o_true, s_true,
-                    chunk_size,
-                )
-                totals[0] = raw
-                sp_sub_r, sp_sub_t = (np.asarray(x, dtype=np.int64)
-                                      for x in sp_sub)
-                po_sub_r, po_sub_t = (np.asarray(x, dtype=np.int64)
-                                      for x in po_sub)
-                for k in range(len(rankings) - 1):
-                    totals[k + 1, 0] = raw[0] - sp_sub_r[k]
-                    totals[k + 1, 1] = raw[1] - sp_sub_t[k]
-                    totals[k + 1, 2] = raw[2] - po_sub_r[k]
-                    totals[k + 1, 3] = raw[3] - po_sub_t[k]
                 self._accumulate_batch(
                     hists, rankings, totals, batch, example_traces, B
                 )
