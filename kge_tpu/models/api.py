@@ -253,7 +253,13 @@ class KgeModel(KgeBase):
             if configuration_key
             else config.get("model")
         )
-        class_name = config.get(model_name + ".class_name")
+        try:
+            class_name = config.get(model_name + ".class_name")
+        except KeyError:
+            # nested model types (e.g. reciprocal base models, rgnn
+            # decoders) may not have been imported yet
+            config._import(model_name)
+            class_name = config.get(model_name + ".class_name")
         return init_from(
             class_name,
             config.modules(),
