@@ -132,7 +132,19 @@ class MessagePassingLayer(RgnnLayerBase):
             composition += "_weighted"
         if composition.endswith("weighted"):
             self.message_weight = True
+        self.composition_name = composition
         self.composition = composition_fn(composition)
+        # Linear compositions commute with the mode weight:
+        # (h_j - h_r) @ W == h_j @ W - h_r @ W, so the matmul hoists out
+        # of the per-edge path onto the [N, d] node table (one MXU matmul
+        # instead of one per edge) and the per-edge work becomes two
+        # gathers. The reference cannot do this (torch_scatter operates
+        # on materialized per-edge messages); on TPU it converts the
+        # layer from per-edge-matmul-bound to gather/HBM-bound.
+        self.hoistable = (
+            composition in ("neighbor", "neighbour", "sub")
+            and not self.message_weight
+        )
         self.rel_transformation = options["rel_transformation"]
         self.weight_decomposition = options["weight_decomposition"]
         self.num_blocks_or_bases = options["num_blocks_or_bases"]
@@ -256,14 +268,27 @@ class MessagePassingLayer(RgnnLayerBase):
                        weight, head: int, is_loop: bool,
                        norm: Optional[jnp.ndarray], ctx: Ctx) -> jnp.ndarray:
         """Per-edge messages: compose, transform, weight, mask."""
-        h_i = jnp.take(x, src, axis=0)
-        h_j = jnp.take(x, nbr, axis=0)
-        h_r = jnp.take(r_full, types, axis=0)
-        mw = None
-        if self.message_weight:
-            mw = jnp.take(params[f"w_msgweight_h{head}"], types, axis=0)
-        composed = self.composition(h_i, h_j, h_r, mw)
-        msg = composed @ weight
+        if self.hoistable:
+            # transform node/relation tables once, gather after (see ctor)
+            xw = x @ weight
+            if is_loop:
+                msg = xw
+                if self.composition_name == "sub":
+                    msg = msg - (r_full[-1] @ weight)[None, :]
+            else:
+                msg = jnp.take(xw, nbr, axis=0)
+                if self.composition_name == "sub":
+                    rw = r_full @ weight
+                    msg = msg - jnp.take(rw, types, axis=0)
+        else:
+            h_i = jnp.take(x, src, axis=0)
+            h_j = jnp.take(x, nbr, axis=0)
+            h_r = jnp.take(r_full, types, axis=0)
+            mw = None
+            if self.message_weight:
+                mw = jnp.take(params[f"w_msgweight_h{head}"], types, axis=0)
+            composed = self.composition(h_i, h_j, h_r, mw)
+            msg = composed @ weight
         if self.learned_relation_weight and not is_loop:
             msg = msg * jnp.take(params["alpha"], types, axis=0)
         if norm is not None:
