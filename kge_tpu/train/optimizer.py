@@ -114,6 +114,42 @@ def _make_preconditioner(opt_type: str, args: Dict[str, Any]
     return optax.chain(*chain)
 
 
+def sparse_unsupported_reason(config: Config) -> Optional[str]:
+    """Why row-sparse updates cannot replicate this optimizer exactly
+    (None when they can). Torch draws the same line: sparse gradients
+    work with Adagrad/plain SGD only (reference: lookup_embedder.yaml
+    ``sparse`` + torch.optim sparse support)."""
+    opt_type = config.get("train.optimizer.default.type").lower()
+    if opt_type not in ("adagrad", "sgd"):
+        return f"optimizer type {opt_type} has dense per-row state semantics"
+    args_list = [dict(config.get("train.optimizer.default.args") or {})]
+    for name in config.get("train.optimizer").keys():
+        if name == "default":
+            continue
+        args_list.append(dict(config.get(f"train.optimizer.{name}.args") or {}))
+    for args in args_list:
+        if args.get("weight_decay", 0.0):
+            return "weight_decay touches every row each step"
+        if opt_type == "sgd" and args.get("momentum", 0.0):
+            return "SGD momentum decays untouched rows each step"
+    return None
+
+
+def _get_by_path(tree, path: str):
+    node = tree
+    for part in path.split("."):
+        node = node[int(part) if part.isdigit() else part]
+    return node
+
+
+def _set_by_path(tree, path: str, value):
+    parts = path.split(".")
+    node = tree
+    for part in parts[:-1]:
+        node = node[int(part) if part.isdigit() else part]
+    node[parts[-1]] = value
+
+
 class KgeOptimizer:
     """Regex parameter groups over a params pytree.
 
@@ -121,10 +157,20 @@ class KgeOptimizer:
     ``train.optimizer.<name>`` claim parameters whose dotted path matches
     their regex (overlaps are an error); everything else falls into the
     ``default`` group.
+
+    Leaves named in ``sparse_paths`` (embedding tables) are excluded from
+    the dense optax transform; the training job updates their touched
+    rows via ``sparse_row_update`` (the TPU counterpart of torch sparse
+    Adagrad). Their per-row state lives under ``opt_state["sparse"]``.
     """
 
-    def __init__(self, config: Config, params_example):
+    def __init__(self, config: Config, params_example, sparse_paths=()):
         self.config = config
+        self.sparse_paths: Tuple[str, ...] = tuple(sparse_paths)
+        if self.sparse_paths:
+            reason = sparse_unsupported_reason(config)
+            if reason is not None:
+                raise ValueError(f"sparse updates unsupported: {reason}")
         self.group_names: List[str] = []
         group_specs: List[Tuple[str, Optional[re.Pattern], Dict]] = []
         for name in config.get("train.optimizer").keys():
@@ -141,7 +187,8 @@ class KgeOptimizer:
             _path_str(path)
             for path, _ in jax.tree_util.tree_flatten_with_path(params_example)[0]
         ]
-        labels_flat = []
+        labels_flat = []      # transform labels ("__sparse__" leaves opt out)
+        lr_labels_flat = []   # group labels for learning rates
         for path in paths:
             matched = [name for name, rx, _ in group_specs if rx.search(path)]
             if len(matched) > 1:
@@ -149,21 +196,33 @@ class KgeOptimizer:
                     f"parameter {path} matched by multiple optimizer groups: "
                     f"{matched}"
                 )
-            labels_flat.append(matched[0] if matched else "default")
+            group = matched[0] if matched else "default"
+            lr_labels_flat.append(group)
+            labels_flat.append(
+                "__sparse__" if path in self.sparse_paths else group
+            )
         treedef = jax.tree_util.tree_structure(params_example)
         self._labels = jax.tree_util.tree_unflatten(treedef, labels_flat)
+        self._lr_labels = jax.tree_util.tree_unflatten(treedef, lr_labels_flat)
+        self._lr_label_by_path = dict(zip(paths, lr_labels_flat))
 
         # per-group transforms + base learning rates
         transforms: Dict[str, optax.GradientTransformation] = {}
         self.base_lrs: Dict[str, float] = {}
+        self._opt_type = opt_type.lower()
+        self._group_args: Dict[str, Dict[str, Any]] = {}
         for name, _, args in group_specs:
             merged = {**default_args, **args}
             transforms[name] = _make_preconditioner(opt_type, merged)
             self.base_lrs[name] = float(merged.get("lr", default_args.get("lr", 1.0)))
             self.group_names.append(name)
+            self._group_args[name] = merged
         transforms["default"] = _make_preconditioner(opt_type, dict(default_args))
         self.base_lrs["default"] = float(default_args.get("lr", 1.0))
         self.group_names.append("default")
+        self._group_args["default"] = dict(default_args)
+        if self.sparse_paths:
+            transforms["__sparse__"] = optax.set_to_zero()
         config.log(
             "optimizer groups: "
             + ", ".join(f"{g} (lr={self.base_lrs[g]})" for g in self.group_names)
@@ -171,16 +230,63 @@ class KgeOptimizer:
         self.tx = optax.multi_transform(transforms, self._labels)
 
     def init(self, params):
-        return self.tx.init(params)
+        tx_state = self.tx.init(params)
+        if not self.sparse_paths:
+            return tx_state
+        sparse: Dict[str, Any] = {}
+        for path in self.sparse_paths:
+            leaf = _get_by_path(params, path)
+            if self._opt_type == "adagrad":
+                initial = float(
+                    self._group_args[self._lr_label_by_path[path]].get(
+                        "initial_accumulator_value", 0.0
+                    )
+                )
+                sparse[path] = {"sum": jnp.full_like(leaf, initial)}
+            else:  # plain sgd: stateless
+                sparse[path] = {}
+        return {"tx": tx_state, "sparse": sparse}
 
     def apply_updates(self, params, grads, opt_state, lrs: Dict[str, jnp.ndarray]):
-        """One optimizer step inside jit; lrs are traced per-group scalars."""
-        updates, new_opt_state = self.tx.update(grads, opt_state, params)
+        """One optimizer step inside jit; lrs are traced per-group scalars.
+        Sparse-path leaves pass through unchanged (the job row-updates
+        them via ``sparse_row_update``)."""
+        tx_state = opt_state["tx"] if self.sparse_paths else opt_state
+        updates, new_tx_state = self.tx.update(grads, tx_state, params)
         new_params = jax.tree_util.tree_map(
-            lambda p, u, label: p - lrs[label] * u,
-            params, updates, self._labels,
+            lambda p, u, label, lr_label:
+                p if label == "__sparse__" else p - lrs[lr_label] * u,
+            params, updates, self._labels, self._lr_labels,
         )
-        return new_params, new_opt_state
+        if self.sparse_paths:
+            return new_params, {"tx": new_tx_state,
+                                "sparse": opt_state["sparse"]}
+        return new_params, new_tx_state
+
+    def sparse_row_update(self, path: str, table, sparse_state, uniq,
+                          row_grads, lrs: Dict[str, jnp.ndarray]):
+        """Row-wise optimizer step on the touched rows of one table.
+
+        ``uniq`` is a sorted, padded unique-index vector; duplicate/fill
+        entries carry zero gradient, so their contributions vanish (the
+        accumulator update is an add of g^2, not a set, to stay correct
+        under duplicates). Exact counterpart of torch sparse Adagrad /
+        plain SGD on sparse gradients.
+        """
+        group = self._lr_label_by_path[path]
+        lr = lrs[group]
+        args = self._group_args[group]
+        if self._opt_type == "adagrad":
+            eps = float(args.get("eps", 1e-10))
+            sum_rows = jnp.take(sparse_state["sum"], uniq, axis=0)
+            new_sum_rows = sum_rows + row_grads * row_grads
+            update = row_grads / (jnp.sqrt(new_sum_rows) + eps)
+            new_state = {
+                "sum": sparse_state["sum"].at[uniq].add(row_grads * row_grads)
+            }
+            return table.at[uniq].add(-lr * update), new_state
+        # plain SGD
+        return table.at[uniq].add(-lr * row_grads), sparse_state
 
 
 class KgeLRScheduler:

@@ -107,7 +107,12 @@ class TrainingJob(TrainingOrEvaluationJob):
                 f"Using mesh {dict(self.mesh.shape)} over "
                 f"{self.mesh.devices.size} devices"
             )
-        self.optimizer = KgeOptimizer(config, self.params)
+        self._sparse_paths = () if forward_only else tuple(
+            self._sparse_table_paths()
+        )
+        self.optimizer = KgeOptimizer(
+            config, self.params, sparse_paths=self._sparse_paths
+        )
         self.opt_state = self.optimizer.init(self.params) \
             if not forward_only else None
         self.lr_scheduler = KgeLRScheduler(config)
@@ -146,6 +151,12 @@ class TrainingJob(TrainingOrEvaluationJob):
         )
 
     # ------------------------------------------------------------------ strategy API
+
+    def _sparse_table_paths(self):
+        """Dotted param paths of embedding tables whose gradients are
+        row-sparse in this strategy (overridden by negative sampling);
+        () keeps the fully dense optimizer path."""
+        return ()
 
     def _prepare(self):
         """Subclasses set self.num_examples and any precomputed indexes."""

@@ -47,6 +47,251 @@ class TrainingJobNegativeSampling(TrainingJob):
             for f in Job.job_created_hooks:
                 f(self)
 
+    # ------------------------------------------------------------------ sparse updates
+
+    def _sparse_table_paths(self):
+        """Row-sparse embedding updates (TPU counterpart of the torch
+        sparse-Adagrad path behind ``lookup_embedder.sparse``): every
+        index scored in a negative-sampling step is known up front, so
+        gradients and optimizer state touch only those rows. Required at
+        Wikidata5M-scale vocabularies where dense [V, D] updates dominate
+        the step."""
+        config = self.config
+        mode = config.check("tpu.sparse_updates", ["auto", "on", "off"])
+        if mode == "off":
+            return ()
+        from kge_tpu.models.api import KgeModel
+        from kge_tpu.models.embedder.lookup import LookupEmbedder
+        from kge_tpu.models.reciprocal import ReciprocalRelationsModel
+        from kge_tpu.train.optimizer import sparse_unsupported_reason
+
+        m = self.model
+        reasons = []
+        r = sparse_unsupported_reason(config)
+        if r:
+            reasons.append(r)
+        if config.get("train.subbatch_size") > 0:
+            reasons.append("subbatch gradient accumulation is enabled")
+        if self.mesh is not None:
+            reasons.append("device mesh active (dense updates shard cleanly)")
+        if config.get("negative_sampling.implementation") == "all":
+            reasons.append("implementation 'all' scores every entity")
+        if isinstance(m, ReciprocalRelationsModel):
+            reasons.append("reciprocal model rewrites raw relation indices")
+        if hasattr(m, "set_graph"):
+            reasons.append("GNN encoder runs over the full graph")
+        if type(m).penalties is not KgeModel.penalties:
+            reasons.append(f"{type(m).__name__} defines whole-table penalties")
+        if type(m).normalize_params is not KgeModel.normalize_params:
+            reasons.append(f"{type(m).__name__} renormalizes full tables")
+        for name, emb in (("entity", m.get_s_embedder()),
+                          ("relation", m.get_p_embedder())):
+            if type(emb) is not LookupEmbedder:
+                reasons.append(f"{name} embedder is not a plain lookup table")
+                continue
+            if emb.normalize_p > 0:
+                reasons.append(f"{name} embedder Lp-normalizes its table")
+            if (emb.regularize
+                    and emb.get_option("regularize_weight") != 0.0
+                    and not emb.get_option("regularize_args.weighted")):
+                reasons.append(f"{name} embedder has unweighted regularization")
+        if not reasons and mode == "auto":
+            # dense table updates cost O(V) per step, the sparse machinery
+            # O(touched rows) plus constant overhead (unique, searchsorted,
+            # scatter). Measured crossover on v5e is ~V/touched = 50; only
+            # auto-enable with clear headroom. "on" skips this heuristic.
+            ent_rows, _ = self._touched_row_counts()
+            if self.dataset.num_entities() < 32 * ent_rows:
+                reasons.append(
+                    "entity vocabulary too small for sparse updates to pay "
+                    f"({self.dataset.num_entities()} rows vs ~{ent_rows} "
+                    "touched per batch)"
+                )
+        if reasons:
+            if mode == "on":
+                raise ValueError(
+                    "tpu.sparse_updates=on is not applicable here: "
+                    + "; ".join(reasons)
+                )
+            if mode == "auto":
+                config.log(
+                    "Row-sparse updates not applicable: " + "; ".join(reasons)
+                )
+            return ()
+        config.log("Using row-sparse embedding updates.")
+        return ("entity_embedder.weights", "relation_embedder.weights")
+
+    def _touched_row_counts(self):
+        """Static (entity, relation) bounds on rows touched per batch."""
+        config = self.config
+        batch_size = config.get("train.batch_size")
+        shared = config.get("negative_sampling.shared")
+        ent_rows, rel_rows = 2 * batch_size, batch_size
+        nums = {}
+        for slot, key in zip(SLOTS, ("s", "p", "o")):
+            n = config.get(f"negative_sampling.num_samples.{key}")
+            nums[key] = n
+        if nums["o"] < 0:
+            nums["o"] = nums["s"]
+        for key, n in nums.items():
+            if n <= 0:
+                continue
+            extra = n + 1 if shared else batch_size * n
+            if key == "p":
+                rel_rows += extra
+            else:
+                ent_rows += extra
+        return ent_rows, rel_rows
+
+    def _make_step_fn(self):
+        if not self._sparse_paths:
+            return super()._make_step_fn()
+        import jax
+
+        model = self.model
+        optimizer = self.optimizer
+        batch_size = self.batch_size
+        e_pad = model.get_s_embedder().padded_vocab_size
+        r_pad = model.get_p_embedder().padded_vocab_size
+        ent_rows, rel_rows = self._touched_row_counts()
+        u_e = min(ent_rows, e_pad)
+        u_r = min(rel_rows, r_pad)
+        slot_nums = [int(self._sampler.num_samples[slot]) for slot in SLOTS]
+
+        def step(params, opt_state, model_state, batch, lrs, rng):
+            triples = batch["triples"]
+            ent_ids = [triples[:, S], triples[:, O]]
+            rel_ids = [triples[:, P]]
+            for slot in SLOTS:
+                if slot_nums[slot] <= 0:
+                    continue
+                key = SLOT_STR[slot]
+                arr = batch.get(f"neg_unique_{key}")
+                if arr is None:
+                    arr = batch[f"negatives_{key}"]
+                (rel_ids if slot == P else ent_ids).append(arr.reshape(-1))
+            uniq_e = jnp.unique(
+                jnp.concatenate(ent_ids), size=u_e, fill_value=e_pad - 1
+            )
+            uniq_r = jnp.unique(
+                jnp.concatenate(rel_ids), size=u_r, fill_value=r_pad - 1
+            )
+
+            def remap(uniq, idx):
+                return jnp.searchsorted(uniq, idx).astype(idx.dtype)
+
+            batch2 = dict(batch)
+            batch2["triples"] = jnp.stack(
+                [
+                    remap(uniq_e, triples[:, S]),
+                    remap(uniq_r, triples[:, P]),
+                    remap(uniq_e, triples[:, O]),
+                ],
+                axis=1,
+            )
+            for slot in SLOTS:
+                if slot_nums[slot] <= 0:
+                    continue
+                key = SLOT_STR[slot]
+                uniq = uniq_r if slot == P else uniq_e
+                if f"neg_unique_{key}" in batch:
+                    batch2[f"neg_unique_{key}"] = remap(
+                        uniq, batch[f"neg_unique_{key}"]
+                    )
+                else:
+                    batch2[f"negatives_{key}"] = remap(
+                        uniq, batch[f"negatives_{key}"]
+                    )
+
+            table_e = params["entity_embedder"]["weights"]
+            table_r = params["relation_embedder"]["weights"]
+            rest = {
+                k: v for k, v in params.items()
+                if k not in ("entity_embedder", "relation_embedder")
+            }
+            diff0 = {
+                "rows_e": jnp.take(table_e, uniq_e, axis=0),
+                "rows_r": jnp.take(table_r, uniq_r, axis=0),
+                "rest": rest,
+            }
+
+            def loss_fn(diff):
+                params2 = {
+                    **diff["rest"],
+                    "entity_embedder": {
+                        **params["entity_embedder"], "weights": diff["rows_e"]
+                    },
+                    "relation_embedder": {
+                        **params["relation_embedder"], "weights": diff["rows_r"]
+                    },
+                }
+                ctx = Ctx(train=True, rng=jax.random.fold_in(rng, 0),
+                          state=model_state)
+                loss = self._subbatch_loss(
+                    params2, ctx, batch2, slice(0, batch_size)
+                )
+                terms = model.penalties(
+                    params2, ctx, batch={"triples": batch2["triples"]}
+                )
+                penalty = 0.0
+                for _, v in terms:
+                    penalty = penalty + v
+                return loss + penalty, (ctx.updates, loss, penalty, dict(terms))
+
+            (_, (updates, loss_value, penalty_total, penalty_dict)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(diff0)
+            )
+            new_model_state = (
+                {**model_state, **updates} if updates else model_state
+            )
+            # dense update for non-table leaves; tables pass through
+            dense_grads = {
+                **grads["rest"],
+                "entity_embedder": jax.tree_util.tree_map(
+                    jnp.zeros_like, params["entity_embedder"]
+                ),
+                "relation_embedder": jax.tree_util.tree_map(
+                    jnp.zeros_like, params["relation_embedder"]
+                ),
+            }
+            new_params, new_opt_state = optimizer.apply_updates(
+                params, dense_grads, opt_state, lrs
+            )
+            sparse_state = dict(new_opt_state["sparse"])
+            new_table_e, state_e = optimizer.sparse_row_update(
+                "entity_embedder.weights",
+                new_params["entity_embedder"]["weights"],
+                sparse_state["entity_embedder.weights"],
+                uniq_e, grads["rows_e"], lrs,
+            )
+            new_table_r, state_r = optimizer.sparse_row_update(
+                "relation_embedder.weights",
+                new_params["relation_embedder"]["weights"],
+                sparse_state["relation_embedder.weights"],
+                uniq_r, grads["rows_r"], lrs,
+            )
+            sparse_state["entity_embedder.weights"] = state_e
+            sparse_state["relation_embedder.weights"] = state_r
+            new_params = {
+                **new_params,
+                "entity_embedder": {
+                    **new_params["entity_embedder"], "weights": new_table_e
+                },
+                "relation_embedder": {
+                    **new_params["relation_embedder"], "weights": new_table_r
+                },
+            }
+            new_opt_state = {**new_opt_state, "sparse": sparse_state}
+            metrics = {
+                "avg_loss": loss_value,
+                "avg_penalty": penalty_total,
+                "avg_cost": loss_value + penalty_total,
+                **{f"avg_penalty_{k}": v for k, v in penalty_dict.items()},
+            }
+            return new_params, new_opt_state, new_model_state, metrics
+
+        return step
+
     def _prepare(self):
         self._implementation = self.config.check(
             "negative_sampling.implementation",

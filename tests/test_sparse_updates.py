@@ -1,0 +1,98 @@
+"""Row-sparse embedding updates (tpu.sparse_updates) must be numerically
+equivalent to the dense optimizer path and guard their applicability.
+
+Reference counterpart: torch sparse Adagrad behind ``lookup_embedder.sparse``
+(reference: kge/model/embedder/lookup_embedder.yaml:74-77); the sparse and
+dense paths optimize the same math, so final tables must match.
+"""
+
+import numpy as np
+import pytest
+
+from tests.util import create_config, get_dataset_folder
+
+
+def _run_training(sparse_mode, *, optimizer="Adagrad", shared=False,
+                  implementation="triple", model="complex", epochs=3,
+                  weighted_reg=True, seed=11):
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+
+    config = create_config("toy", model=model)
+    config.set("console.quiet", True)
+    config.set("lookup_embedder.dim", 16)
+    if weighted_reg:
+        config.set("lookup_embedder.regularize", "lp")
+        config.set("lookup_embedder.regularize_weight", 0.01)
+        config.set("lookup_embedder.regularize_args.weighted", True)
+    config.set("train.type", "negative_sampling")
+    config.set("train.batch_size", 32)
+    config.set("train.max_epochs", epochs)
+    config.set("negative_sampling.num_samples.s", 5)
+    config.set("negative_sampling.num_samples.o", 7)
+    config.set("negative_sampling.shared", shared)
+    config.set("negative_sampling.implementation", implementation)
+    config.set("train.optimizer.default.type", optimizer)
+    config.set("train.optimizer.default.args.lr", 0.1, create=True)
+    config.set("random_seed.default", seed)
+    config.set("valid.every", 0)
+    config.set("tpu.sparse_updates", sparse_mode)
+    dataset = Dataset.create(config)
+    job = TrainingJob.create(config, dataset)
+    job.run()
+    return job
+
+
+def _tables(job):
+    return (
+        np.asarray(job.params["entity_embedder"]["weights"]),
+        np.asarray(job.params["relation_embedder"]["weights"]),
+    )
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(optimizer="Adagrad", shared=False, implementation="triple"),
+        dict(optimizer="Adagrad", shared=True, implementation="batch"),
+        dict(optimizer="SGD", shared=False, implementation="batch",
+             weighted_reg=False),
+    ],
+    ids=["adagrad-triple", "adagrad-shared-batch", "sgd-batch"],
+)
+def test_sparse_matches_dense(kwargs):
+    dense = _run_training("off", **kwargs)
+    sparse = _run_training("on", **kwargs)
+    assert sparse._sparse_paths == (
+        "entity_embedder.weights", "relation_embedder.weights"
+    )
+    for d, s in zip(_tables(dense), _tables(sparse)):
+        np.testing.assert_allclose(d, s, atol=5e-6)
+
+
+def test_auto_disables_on_small_vocab():
+    job = _run_training("auto", epochs=1)
+    assert job._sparse_paths == ()
+
+
+def test_on_rejects_unsupported_optimizer():
+    with pytest.raises(ValueError, match="dense per-row state"):
+        _run_training("on", optimizer="Adam", epochs=1)
+
+
+def test_on_rejects_unweighted_regularization():
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+
+    config = create_config("toy", model="complex")
+    config.set("console.quiet", True)
+    config.set("lookup_embedder.dim", 16)
+    config.set("lookup_embedder.regularize", "lp")
+    config.set("lookup_embedder.regularize_weight", 0.01)
+    config.set("lookup_embedder.regularize_args.weighted", False)
+    config.set("train.type", "negative_sampling")
+    config.set("train.optimizer.default.args.lr", 0.1, create=True)
+    config.set("tpu.sparse_updates", "on")
+    dataset = Dataset.create(config)
+    with pytest.raises(ValueError, match="unweighted regularization"):
+        TrainingJob.create(config, dataset)
