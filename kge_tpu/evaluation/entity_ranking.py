@@ -166,21 +166,27 @@ class EntityRankingJob(EvaluationJob):
 
         return jax.jit(spo_scores)
 
-    def _check_spo_consistency(self, params, model_state, s, p, o,
-                               o_true, s_true):
-        """spo-vs-sp_ floating point consistency check (reference:
-        eval_entity_ranking.py:240-274): the triple-wise scoring path
-        must agree with the matrix path within the tie tolerances."""
+    def _spo_consistency_scores(self, params, model_state, s, p, o):
+        """Device half of the spo-vs-sp_ consistency check: dispatch the
+        triple-wise scoring, defer the (synchronizing) comparison."""
         if self._spo_fn is False:
-            return
+            return None
         if self._spo_fn is None:
             try:
                 self._spo_fn = self._build_spo_fn()
                 self._spo_fn(params, model_state, s, p, o)
             except (ValueError, NotImplementedError):
                 self._spo_fn = False  # model cannot score spo both ways
-                return
-        o_spo, s_spo = self._spo_fn(params, model_state, s, p, o)
+                return None
+        return self._spo_fn(params, model_state, s, p, o)
+
+    def _check_spo_consistency(self, spo_pair, o_true, s_true):
+        """spo-vs-sp_ floating point consistency check (reference:
+        eval_entity_ranking.py:240-274): the triple-wise scoring path
+        must agree with the matrix path within the tie tolerances."""
+        if spo_pair is None:
+            return
+        o_spo, s_spo = spo_pair
         for name, spo_v, true_v in [("sp_", o_spo, o_true),
                                     ("_po", s_spo, s_true)]:
             a, b = np.asarray(spo_v), np.asarray(true_v)
@@ -399,7 +405,12 @@ class EntityRankingJob(EvaluationJob):
         for f in self.pre_epoch_hooks:
             f(self)
 
+        # Dispatch phase: every batch's device work is enqueued without a
+        # single device->host fetch (a fetch costs a full tunnel/dispatch
+        # round trip); results are pulled and post-processed after the
+        # last batch is in flight.
         example_traces = []
+        pending = []
         for start in range(0, len(self.triples), self.batch_size):
             for f in self.pre_batch_hooks:
                 f(self)
@@ -409,8 +420,8 @@ class EntityRankingJob(EvaluationJob):
             p = jnp.asarray(batch[:, 1].astype(np.int32))
             o = jnp.asarray(batch[:, 2].astype(np.int32))
             o_true, s_true = self._true_fn(params, model_state, s, p, o)
-            self._check_spo_consistency(
-                params, model_state, s, p, o, o_true, s_true
+            spo_pair = self._spo_consistency_scores(
+                params, model_state, s, p, o
             )
 
             # label coordinates per filtered ranking (deduped per row)
@@ -434,46 +445,46 @@ class EntityRankingJob(EvaluationJob):
             coords_sp = np.stack([pad_to(cs[0], L) for cs in coord_sets])
             coords_po = np.stack([pad_to(cs[1], Lp) for cs in coord_sets])
 
-            totals = np.zeros((len(rankings), 4, B), dtype=np.int64)
             if use_fused:
                 if self._fused_query_fn is None:
                     self._fused_query_fn = self._build_fused_batch_fn(
                         len(rankings), chunk_size
                     )
-                totals = np.asarray(
-                    self._fused_query_fn(
-                        params, model_state, s, p, o,
-                        jnp.asarray(coords_sp), jnp.asarray(coords_po),
-                        o_true, s_true,
-                    ),
-                    dtype=np.int64,
-                )
-                self._accumulate_batch(
-                    hists, rankings, totals, batch, example_traces, B
-                )
-                for f in self.post_batch_hooks:
-                    f(self)
-                continue
-            for c in range(num_chunks):
-                chunk_start = c * chunk_size
-                ids = np.arange(chunk_start, chunk_start + chunk_size)
-                col_valid = ids < num_entities
-                ids = np.minimum(ids, num_entities - 1)
-                counts = self._chunk_fn(
+                totals_dev = self._fused_query_fn(
                     params, model_state, s, p, o,
-                    jnp.asarray(ids.astype(np.int32)),
-                    jnp.asarray(col_valid),
-                    jnp.int32(chunk_start),
                     jnp.asarray(coords_sp), jnp.asarray(coords_po),
                     o_true, s_true,
                 )
-                totals += np.asarray(counts, dtype=np.int64)
+            else:
+                totals_dev = None
+                for c in range(num_chunks):
+                    chunk_start = c * chunk_size
+                    ids = np.arange(chunk_start, chunk_start + chunk_size)
+                    col_valid = ids < num_entities
+                    ids = np.minimum(ids, num_entities - 1)
+                    counts = self._chunk_fn(
+                        params, model_state, s, p, o,
+                        jnp.asarray(ids.astype(np.int32)),
+                        jnp.asarray(col_valid),
+                        jnp.int32(chunk_start),
+                        jnp.asarray(coords_sp), jnp.asarray(coords_po),
+                        o_true, s_true,
+                    )
+                    totals_dev = (
+                        counts if totals_dev is None else totals_dev + counts
+                    )
+            pending.append((batch, B, totals_dev, spo_pair, o_true, s_true))
+            for f in self.post_batch_hooks:
+                f(self)
 
+        # Fetch phase: one bulk transfer after all device work is enqueued.
+        pending = jax.device_get(pending)
+        for batch, B, totals_dev, spo_pair, o_true, s_true in pending:
+            self._check_spo_consistency(spo_pair, o_true, s_true)
+            totals = np.asarray(totals_dev, dtype=np.int64)
             self._accumulate_batch(
                 hists, rankings, totals, batch, example_traces, B
             )
-            for f in self.post_batch_hooks:
-                f(self)
 
         for entry in example_traces:
             self.config.trace(**entry)
