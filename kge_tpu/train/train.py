@@ -120,6 +120,7 @@ class TrainingJob(TrainingOrEvaluationJob):
         self._np_rng = np.random.default_rng(np_seed if np_seed >= 0 else None)
 
         self._train_step = None  # compiled lazily per strategy
+        self._group_steps: Dict[int, Callable] = {}  # k -> scanned step
 
         if not self.is_forward_only:
             from kge_tpu.evaluation.eval import EvaluationJob
@@ -189,6 +190,49 @@ class TrainingJob(TrainingOrEvaluationJob):
     def _build_train_step(self) -> Callable:
         donate = (0, 1, 2) if self.config.get("tpu.donate_buffers") else ()
         return jax.jit(self._make_step_fn(), donate_argnums=donate)
+
+    def _build_group_step(self, k: int) -> Callable:
+        """K train steps scanned inside ONE compiled dispatch. Dispatch
+        and host->device marshaling cost a few ms per call (much more
+        over remote-attached transports); amortizing them over k batches
+        makes the epoch loop device-bound. Math is identical to k
+        per-batch dispatches (same per-batch RNG fold)."""
+        step_fn = self._make_step_fn()
+
+        def many(params, opt_state, model_state, stacked, lrs, rng,
+                 start_index):
+            def body(carry, i):
+                params, opt_state, model_state = carry
+                batch = jax.tree_util.tree_map(
+                    lambda v: jax.lax.dynamic_index_in_dim(
+                        v, i, keepdims=False
+                    ),
+                    stacked,
+                )
+                step_rng = jax.random.fold_in(rng, start_index + i)
+                params, opt_state, model_state, metrics = step_fn(
+                    params, opt_state, model_state, batch, lrs, step_rng
+                )
+                return (params, opt_state, model_state), metrics
+
+            (params, opt_state, model_state), metrics = jax.lax.scan(
+                body, (params, opt_state, model_state),
+                jnp.arange(k, dtype=jnp.int32),
+            )
+            return params, opt_state, model_state, metrics
+
+        donate = (0, 1, 2) if self.config.get("tpu.donate_buffers") else ()
+        return jax.jit(many, donate_argnums=donate)
+
+    def _steps_per_dispatch(self) -> int:
+        group = int(self.config.get("tpu.steps_per_dispatch"))
+        if group <= 1:
+            return 1
+        if self.pre_batch_hooks or self.post_batch_hooks:
+            return 1  # hooks observe real batch boundaries
+        if self.mesh is not None:
+            return 1  # batch leading axis is the "data" shard axis
+        return group
 
     def _make_step_fn(self) -> Callable:
         """The pure (un-jitted) train step; benchmark harnesses scan it."""
@@ -396,32 +440,87 @@ class TrainingJob(TrainingOrEvaluationJob):
         batch_metrics: List[Dict[str, jnp.ndarray]] = []
         num_batches = 0
         prepare_time = 0.0
+        group_size = self._steps_per_dispatch()
         self.rng, epoch_rng = jax.random.split(self.rng)
+
+        def flush(buffered, start_index):
+            """Dispatch a group of host batches as one compiled call. A
+            short remainder group reuses the per-batch step instead of
+            compiling a second scanned program."""
+            nonlocal prepare_time
+            k = len(buffered)
+            if self._train_step is None:
+                # invalidated mid-epoch (e.g. per-epoch graph resampling)
+                self._group_steps = {}
+                self._train_step = self._build_train_step()
+            if k == group_size and group_size > 1:
+                t0 = time.time()
+                stacked = {
+                    key: np.stack([b[key] for b in buffered])
+                    for key in buffered[0]
+                }
+                # group path only runs without a mesh: plain device_put
+                batch = self._put_batch(stacked)
+                prepare_time += time.time() - t0
+                if k not in self._group_steps:
+                    self._group_steps[k] = self._build_group_step(k)
+                out = self._group_steps[k](
+                    self.params, self.opt_state, self.model_state, batch,
+                    lrs, epoch_rng, jnp.int32(start_index),
+                )
+                (self.params, self.opt_state, self.model_state,
+                 metrics) = out
+                batch_metrics.append((k, metrics))
+                return
+            for i, batch_np in enumerate(buffered):
+                t0 = time.time()
+                batch = self._put_batch(batch_np)
+                prepare_time += time.time() - t0
+                rng_arg = jax.random.fold_in(epoch_rng, start_index + i)
+                out = self._train_step(
+                    self.params, self.opt_state, self.model_state, batch,
+                    lrs, rng_arg,
+                )
+                (self.params, self.opt_state, self.model_state,
+                 metrics) = out
+                batch_metrics.append((1, metrics))
+
+        def signature(batch_np):
+            return tuple(
+                (key, np.shape(v), str(np.asarray(v).dtype))
+                for key, v in sorted(batch_np.items())
+            )
+
+        buffered: List[Dict[str, np.ndarray]] = []
+        buffered_sig = None
         for batch_index, batch_np in enumerate(self._generate_batches(self.epoch)):
             for f in self.pre_batch_hooks:
                 f(self)
-            t0 = time.time()
-            batch = self._put_batch(batch_np)
-            prepare_time += time.time() - t0
-            step_rng = jax.random.fold_in(epoch_rng, batch_index)
-            if self._train_step is None:
-                # invalidated mid-epoch (e.g. per-epoch graph resampling)
-                self._train_step = self._build_train_step()
-            (self.params, self.opt_state, self.model_state,
-             metrics) = self._train_step(
-                self.params, self.opt_state, self.model_state, batch, lrs,
-                step_rng,
-            )
-            batch_metrics.append(metrics)
+            # only batches with identical structure stack into one
+            # dispatch (KvsAll interleaves query types with different
+            # keys and bucketed label widths)
+            sig = signature(batch_np) if group_size > 1 else None
+            if buffered and sig != buffered_sig:
+                flush(buffered, num_batches - len(buffered))
+                buffered = []
+            buffered.append(batch_np)
+            buffered_sig = sig
             num_batches += 1
+            if len(buffered) == group_size:
+                flush(buffered, num_batches - len(buffered))
+                buffered = []
             for f in self.post_batch_hooks:
                 f(self)
+        if buffered:
+            flush(buffered, num_batches - len(buffered))
 
-        # single device sync for the whole epoch
+        # single device sync for the whole epoch (one bulk transfer; a
+        # per-scalar float() would pay a dispatch round trip per metric)
+        batch_metrics = jax.device_get(batch_metrics)
         sums: Dict[str, float] = {}
-        for metrics in batch_metrics:
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+        for k, metrics in batch_metrics:
+            for key, v in metrics.items():
+                sums[key] = sums.get(key, 0.0) + float(np.sum(v))
         epoch_time = time.time() - epoch_start
 
         if self.abort_on_nan and not math.isfinite(sums.get("avg_cost", 0.0)):

@@ -116,3 +116,38 @@ def test_kvsall_query_types():
         ("sp_to_o", "po_to_s", "so_to_p")
     )
     assert job.num_examples == expected
+
+
+def test_steps_per_dispatch_invariance():
+    """Grouped dispatch (lax.scan over k batches) must give the same
+    losses as per-batch dispatch (same per-batch RNG fold)."""
+    import numpy as np
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+    from tests.util import create_config
+
+    def run(group):
+        config = create_config("toy", model="complex")
+        config.set("console.quiet", True)
+        config.set("lookup_embedder.dim", 16)
+        config.set("train.type", "negative_sampling")
+        config.set("train.batch_size", 32)
+        config.set("train.max_epochs", 2)
+        config.set("negative_sampling.num_samples.s", 3)
+        config.set("negative_sampling.num_samples.o", 3)
+        config.set("train.optimizer.default.args.lr", 0.1, create=True)
+        config.set("random_seed.default", 7)
+        config.set("valid.every", 0)
+        config.set("tpu.steps_per_dispatch", group)
+        dataset = Dataset.create(config)
+        job = TrainingJob.create(config, dataset)
+        job.run()
+        return job
+
+    a = run(1)
+    b = run(4)
+    np.testing.assert_allclose(
+        np.asarray(a.params["entity_embedder"]["weights"]),
+        np.asarray(b.params["entity_embedder"]["weights"]),
+        atol=1e-6,
+    )
