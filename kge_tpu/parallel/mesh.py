@@ -24,6 +24,13 @@ from kge_tpu.config import Config
 def resolve_device(config: Config) -> jax.Device:
     """Pick the job's device: 'auto' prefers an accelerator, 'cpu' forces
     host execution (useful for tests and tiny datasets)."""
+    try:
+        cache_dir = config.get("tpu.compilation_cache_dir")
+    except KeyError:
+        cache_dir = ""
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     name = config.get("job.device")
     if name == "cpu":
         return jax.devices("cpu")[0]

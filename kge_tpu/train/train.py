@@ -41,6 +41,40 @@ from kge_tpu.utils.misc import init_from
 from kge_tpu.utils.seed import rng_seed_from_config
 
 
+def _prefetch(gen, depth: int):
+    """Run a batch generator in a producer thread so host collate
+    (sampling, label coords) overlaps device dispatch. Single producer,
+    single consumer: ordering and RNG draws are identical to serial."""
+    if depth <= 0:
+        yield from gen
+        return
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    errors = []
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # re-raised on the consumer side
+            errors.append(e)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
+
 class TrainingJob(TrainingOrEvaluationJob):
     """Abstract base for training strategies."""
 
@@ -493,7 +527,11 @@ class TrainingJob(TrainingOrEvaluationJob):
 
         buffered: List[Dict[str, np.ndarray]] = []
         buffered_sig = None
-        for batch_index, batch_np in enumerate(self._generate_batches(self.epoch)):
+        batches = _prefetch(
+            self._generate_batches(self.epoch),
+            int(self.config.get("tpu.prefetch_batches")),
+        )
+        for batch_index, batch_np in enumerate(batches):
             for f in self.pre_batch_hooks:
                 f(self)
             # only batches with identical structure stack into one
