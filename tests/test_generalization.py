@@ -1,0 +1,71 @@
+"""End-to-end learning quality: train on a rule-determined synthetic
+graph and require near-perfect filtered MRR on held-out triples.
+
+Cyclic-group dataset: entities are Z_n, relation k maps a -> (a+k) mod n.
+ComplEx represents translations on Z_n exactly (Fourier embeddings), so
+a correct training + evaluation pipeline must generalize to held-out
+triples -- unit tests of the pieces cannot catch a subtly-wrong
+optimizer step or eval direction, this does.
+"""
+
+import numpy as np
+import pytest
+
+from tests.util import create_config
+
+
+def _cyclic_dataset(config, n=60, ks=(1, 2, 5), n_held=24, seed=0):
+    from kge_tpu import Dataset
+
+    triples = np.array(
+        [(a, i, (a + k) % n) for i, k in enumerate(ks) for a in range(n)],
+        dtype=np.int32,
+    )
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(triples))
+    config.set("dataset.num_entities", n)
+    config.set("dataset.num_relations", len(ks))
+    config.set("dataset.pickle", False)
+    dataset = Dataset(config, folder=None)
+    dataset._triples.update(
+        valid=triples[perm[:n_held]],
+        test=triples[perm[n_held:2 * n_held]],
+        train=triples[perm[2 * n_held:]],
+    )
+    return dataset
+
+
+@pytest.mark.parametrize("train_type", ["KvsAll", "negative_sampling"])
+def test_complex_generalizes_on_cyclic_group(train_type):
+    from kge_tpu.train.train import TrainingJob
+
+    config = create_config("toy", model="complex")
+    config.set("console.quiet", True)
+    config.set("lookup_embedder.dim", 64)
+    config.set("lookup_embedder.initialize", "normal_")
+    config.set("lookup_embedder.initialize_args.normal_.std", 0.1,
+               create=True)
+    config.set("lookup_embedder.regularize", "lp")
+    config.set("lookup_embedder.regularize_args.p", 2, create=True)
+    config.set("lookup_embedder.regularize_weight", 1e-5)
+    config.set("train.type", train_type)
+    config.set("train.batch_size", 64)
+    config.set("train.max_epochs", 240)
+    config.set("train.optimizer.default.type", "Adagrad")
+    config.set("train.optimizer.default.args.lr", 0.3, create=True)
+    config.set("valid.every", 240)
+    config.set("random_seed.default", 5)
+    if train_type == "negative_sampling":
+        config.set("negative_sampling.num_samples.s", 32)
+        config.set("negative_sampling.num_samples.o", 32)
+        # RotatE-style self-adversarial weighting converges to the exact
+        # solution here; plain kl plateaus in a local optimum on this
+        # tiny graph (its torch parity is covered by test_loss_parity)
+        config.set("train.loss", "bce_self_adversarial")
+        config.set("train.max_epochs", 320)
+        config.set("valid.every", 320)
+    dataset = _cyclic_dataset(config)
+    job = TrainingJob.create(config, dataset)
+    job.run()
+    mrr = job.valid_trace[-1]["mean_reciprocal_rank_filtered"]
+    assert mrr > 0.85, f"{train_type}: held-out MRR {mrr:.3f} (expected ~1)"
