@@ -168,3 +168,56 @@ def test_fused_reciprocal_conve_falls_back():
                    model.init_state())
     trace = job.run()
     assert "mean_reciprocal_rank_filtered" in trace
+
+
+def test_metric_expr_computes_missing_metric():
+    """valid.metric_expr is eval'd when the configured metric is absent
+    (reference: kge/job/eval.py:69-76)."""
+    from kge_tpu import Dataset
+    from kge_tpu.evaluation.eval import EvaluationJob
+    from kge_tpu.models import KgeModel
+    import jax
+
+    config = create_config("dataset_test", model="complex")
+    config.set("console.quiet", True)
+    config.set("lookup_embedder.dim", 8)
+    config.set("job.type", "eval")
+    config.set("eval.split", "test")
+    config.set("valid.metric", "my_combined_metric")
+    config.set(
+        "valid.metric_expr",
+        "0.5 * mean_reciprocal_rank_filtered + 0.5 * hits_at_3_filtered",
+    )
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    model = KgeModel.create(config, dataset)
+    job = EvaluationJob.create(config, dataset, model=model)
+    job.set_params(model.init_params(jax.random.PRNGKey(0)), model.init_state())
+    job.verbose = False
+    entry = job._run()
+    expected = (0.5 * entry["mean_reciprocal_rank_filtered"]
+                + 0.5 * entry["hits_at_3_filtered"])
+    assert abs(entry["my_combined_metric"] - expected) < 1e-12
+
+
+def test_training_loss_eval():
+    """eval.type: training_loss reports forward-only avg_loss
+    (reference: kge/job/eval_training_loss.py)."""
+    from kge_tpu import Dataset
+    from kge_tpu.evaluation.eval import EvaluationJob
+    from kge_tpu.models import KgeModel
+    import jax
+
+    config = create_config("dataset_test", model="complex")
+    config.set("console.quiet", True)
+    config.set("lookup_embedder.dim", 8)
+    config.set("job.type", "eval")
+    config.set("eval.type", "training_loss")
+    config.set("eval.split", "valid")
+    config.set("train.optimizer.default.args.lr", 0.1, create=True)
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    model = KgeModel.create(config, dataset)
+    job = EvaluationJob.create(config, dataset, model=model)
+    job.set_params(model.init_params(jax.random.PRNGKey(0)), model.init_state())
+    job.verbose = False
+    entry = job._run()
+    assert "avg_loss" in entry and entry["avg_loss"] > 0
