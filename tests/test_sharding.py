@@ -99,3 +99,34 @@ def test_sharded_training_with_validation(tmp_path):
     job.run()
     assert len(job.valid_trace) == 1
     assert 0.0 <= job.valid_trace[0]["mean_reciprocal_rank_filtered"] <= 1.0
+
+
+def test_sharded_eval_matches_single_device():
+    """Entity-ranking metrics must be identical whether the params are
+    replicated on one device or vocab-sharded over the (data, model)
+    mesh (rank counting is a psum of per-shard counts)."""
+    from kge_tpu.evaluation.eval import EvaluationJob
+    from kge_tpu.models import KgeModel
+
+    results = []
+    for mesh in [(1, 1), (2, 4)]:
+        config = create_config("dataset_test", model="complex")
+        config.set("job.type", "eval")
+        config.set("eval.split", "test")
+        config.set("lookup_embedder.dim", 16)
+        config.set("tpu.mesh.data", mesh[0])
+        config.set("tpu.mesh.model", mesh[1])
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        model = KgeModel.create(config, dataset)
+        params = model.init_params(jax.random.PRNGKey(3))
+        m = build_mesh(config)
+        if m is not None:
+            params = jax.device_put(params, params_sharding(m, params))
+        job = EvaluationJob.create(config, dataset, model=model)
+        job.set_params(params, model.init_state())
+        job.verbose = False
+        entry = job._run()
+        results.append(entry)
+    for key in ("mean_reciprocal_rank_filtered", "hits_at_1",
+                "mean_rank_filtered"):
+        assert abs(results[0][key] - results[1][key]) < 1e-9, key
