@@ -130,3 +130,33 @@ def test_sharded_eval_matches_single_device():
     for key in ("mean_reciprocal_rank_filtered", "hits_at_1",
                 "mean_rank_filtered"):
         assert abs(results[0][key] - results[1][key]) < 1e-9, key
+
+
+def test_sharded_gnn_training_matches_single_device():
+    """CompGCN full-graph message passing must compile and run under the
+    (data, model) mesh and give the same first-epoch loss as one device
+    (GSPMD inserts the halo-exchange collectives for the vocab-sharded
+    tables; the graph is replicated as compiled constants)."""
+    losses = []
+    for mesh in [(1, 1), (4, 2)]:
+        config = create_config("dataset_test", model="compgcn")
+        config.set("compgcn.decoder.model", "distmult")
+        config.set("compgcn.decoder.type", "distmult")
+        for key in ("compgcn.entity_embedder.dim",
+                    "compgcn.relation_embedder.dim",
+                    "compgcn.decoder.base_model.entity_embedder.dim",
+                    "compgcn.decoder.base_model.relation_embedder.dim"):
+            config.set(key, 16, create=True)
+        config.set("train.type", "negative_sampling")
+        config.set("negative_sampling.num_samples.s", 3)
+        config.set("negative_sampling.num_samples.o", 3)
+        config.set("train.batch_size", 8)
+        config.set("train.max_epochs", 1)
+        config.set("valid.every", 0)
+        config.set("random_seed.default", 21)
+        config.set("tpu.mesh.data", mesh[0])
+        config.set("tpu.mesh.model", mesh[1])
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        job = TrainingJob.create(config, dataset)
+        losses.append(job.run()["avg_loss"])
+    assert abs(losses[0] - losses[1]) < 1e-4, losses
