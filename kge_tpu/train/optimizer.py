@@ -276,17 +276,28 @@ class KgeOptimizer:
         group = self._lr_label_by_path[path]
         lr = lrs[group]
         args = self._group_args[group]
+        # uniq is sorted (jnp.unique output); the sorted-scatter path is
+        # faster and avoids a backend fault observed with the default
+        # scatter lowering on >1 GiB tables
         if self._opt_type == "adagrad":
             eps = float(args.get("eps", 1e-10))
             sum_rows = jnp.take(sparse_state["sum"], uniq, axis=0)
             new_sum_rows = sum_rows + row_grads * row_grads
             update = row_grads / (jnp.sqrt(new_sum_rows) + eps)
             new_state = {
-                "sum": sparse_state["sum"].at[uniq].add(row_grads * row_grads)
+                "sum": sparse_state["sum"].at[uniq].add(
+                    row_grads * row_grads, indices_are_sorted=True
+                )
             }
-            return table.at[uniq].add(-lr * update), new_state
+            return (
+                table.at[uniq].add(-lr * update, indices_are_sorted=True),
+                new_state,
+            )
         # plain SGD
-        return table.at[uniq].add(-lr * row_grads), sparse_state
+        return (
+            table.at[uniq].add(-lr * row_grads, indices_are_sorted=True),
+            sparse_state,
+        )
 
 
 class KgeLRScheduler:

@@ -107,6 +107,18 @@ class TrainingJobNegativeSampling(TrainingJob):
                     f"({self.dataset.num_entities()} rows vs ~{ent_rows} "
                     "touched per batch)"
                 )
+            else:
+                # observed v5e backend fault when the fused loss+row-scatter
+                # program touches a single table buffer over ~1 GiB (the
+                # split phases each run fine); cap auto until resolved --
+                # beyond this, shard the vocabulary over the mesh instead
+                dim = self.model.get_s_embedder().dim
+                e_pad = self.model.get_s_embedder().padded_vocab_size
+                if e_pad * dim * 4 > (1 << 30):
+                    reasons.append(
+                        "entity table exceeds the verified 1 GiB "
+                        "single-buffer limit for fused row scatters"
+                    )
         if reasons:
             if mode == "on":
                 raise ValueError(
