@@ -72,8 +72,6 @@ class TrainingJobNegativeSampling(TrainingJob):
             reasons.append(r)
         if config.get("train.subbatch_size") > 0:
             reasons.append("subbatch gradient accumulation is enabled")
-        if self.mesh is not None:
-            reasons.append("device mesh active (dense updates shard cleanly)")
         if config.get("negative_sampling.implementation") == "all":
             reasons.append("implementation 'all' scores every entity")
         if isinstance(m, ReciprocalRelationsModel):
@@ -114,9 +112,10 @@ class TrainingJobNegativeSampling(TrainingJob):
                 # beyond this, shard the vocabulary over the mesh instead
                 dim = self.model.get_s_embedder().dim
                 e_pad = self.model.get_s_embedder().padded_vocab_size
-                if e_pad * dim * 4 > (1 << 30):
+                shards = self.mesh.shape["model"] if self.mesh else 1
+                if e_pad * dim * 4 // shards > (1 << 30):
                     reasons.append(
-                        "entity table exceeds the verified 1 GiB "
+                        "entity table shard exceeds the verified 1 GiB "
                         "single-buffer limit for fused row scatters"
                     )
         if reasons:

@@ -96,3 +96,35 @@ def test_on_rejects_unweighted_regularization():
     dataset = Dataset.create(config)
     with pytest.raises(ValueError, match="unweighted regularization"):
         TrainingJob.create(config, dataset)
+
+
+def test_sparse_under_mesh_matches_dense_single_device():
+    """Row-sparse updates on vocab-sharded tables (the Wikidata5M-scale
+    configuration: each table shard stays under the 1 GiB scatter limit)
+    must reproduce the dense single-device trajectory."""
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+
+    tables = []
+    for sparse, mesh in [("off", (1, 1)), ("on", (4, 2))]:
+        config = create_config("toy", model="complex")
+        config.set("console.quiet", True)
+        config.set("lookup_embedder.dim", 16)
+        config.set("train.type", "negative_sampling")
+        config.set("negative_sampling.num_samples.s", 3)
+        config.set("negative_sampling.num_samples.o", 3)
+        config.set("train.batch_size", 32)
+        config.set("train.max_epochs", 2)
+        config.set("valid.every", 0)
+        config.set("random_seed.default", 21)
+        config.set("train.optimizer.default.args.lr", 0.1, create=True)
+        config.set("tpu.mesh.data", mesh[0])
+        config.set("tpu.mesh.model", mesh[1])
+        config.set("tpu.sparse_updates", sparse)
+        dataset = Dataset.create(config)
+        job = TrainingJob.create(config, dataset)
+        job.run()
+        tables.append(np.asarray(
+            job.params["entity_embedder"]["weights"]
+        )[: dataset.num_entities()])
+    np.testing.assert_allclose(tables[0], tables[1], atol=1e-5)
