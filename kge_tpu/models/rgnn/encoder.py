@@ -63,15 +63,30 @@ def build_graph_buffers(triples: np.ndarray, num_relations: int,
     }
     if per_relation:
         rels, counts = np.unique(edge_type, return_counts=True)
+        # chunk each relation's edges to a fixed width: skewed relation
+        # distributions (real KGs) would otherwise pad every bucket to
+        # the hottest relation's count (observed 14x slot blowup on
+        # FB15k-237); chunking bounds padding at one row per relation
+        # and the scan body handles repeated relation ids naturally
         emax = _bucket_pow2(int(counts.max())) if len(counts) else 1
-        buckets = np.full((len(rels), emax), -1, dtype=np.int32)
+        emax = min(emax, 2048)
+        rows: list = []
+        row_rels: list = []
         order = np.argsort(edge_type, kind="stable")
         start = 0
-        for i, (rel, c) in enumerate(zip(rels, counts)):
-            buckets[i, :c] = order[start : start + c]
+        for rel, c in zip(rels, counts):
+            edges = order[start : start + c]
             start += c
-        graph["rel_buckets"] = buckets
-        graph["rel_bucket_ids"] = rels.astype(np.int32)
+            for off in range(0, c, emax):
+                chunk = edges[off : off + emax]
+                row = np.full(emax, -1, dtype=np.int32)
+                row[: len(chunk)] = chunk
+                rows.append(row)
+                row_rels.append(rel)
+        graph["rel_buckets"] = (
+            np.stack(rows) if rows else np.full((1, emax), -1, np.int32)
+        )
+        graph["rel_bucket_ids"] = np.asarray(row_rels or [0], dtype=np.int32)
     return graph
 
 
