@@ -35,11 +35,15 @@ def _cyclic_dataset(config, n=60, ks=(1, 2, 5), n_held=24, seed=0):
     return dataset
 
 
-@pytest.mark.parametrize("train_type", ["KvsAll", "negative_sampling"])
-def test_complex_generalizes_on_cyclic_group(train_type):
+@pytest.mark.parametrize(
+    "model,train_type",
+    [("complex", "KvsAll"), ("complex", "negative_sampling"),
+     ("rotate", "negative_sampling")],
+)
+def test_model_generalizes_on_cyclic_group(model, train_type):
     from kge_tpu.train.train import TrainingJob
 
-    config = create_config("toy", model="complex")
+    config = create_config("toy", model=model)
     config.set("console.quiet", True)
     config.set("lookup_embedder.dim", 64)
     config.set("lookup_embedder.initialize", "normal_")
