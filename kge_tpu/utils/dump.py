@@ -42,6 +42,16 @@ def add_dump_parsers(parser):
     p.add_argument("--max-epoch", type=int, default=None)
     p.add_argument("--example", action="store_true")
     p.add_argument("--batch", action="store_true")
+    p.add_argument("--checkpoint", action="store_true",
+                   help="only entries up to the epoch of the job's last "
+                        "checkpoint")
+    p.add_argument("--truncate", action="store_true",
+                   help="only entries up to the best validation epoch")
+    p.add_argument("--no-header", action="store_true")
+    p.add_argument("--no-default-keys", action="store_true")
+    p.add_argument("--list-keys", action="store_true",
+                   help="print all keys appearing in the selected entries "
+                        "and exit")
 
     p = sub.add_parser("checkpoint", help="Dump checkpoint metadata")
     p.add_argument("source", type=str)
@@ -109,13 +119,35 @@ def dump_trace(args):
     if args.batch:
         scopes.add("batch")
 
+    max_epoch = args.max_epoch
+    if getattr(args, "checkpoint", False) or getattr(args, "truncate", False):
+        # cap at the epoch recorded in the folder's checkpoint (last for
+        # --checkpoint, best for --truncate), reference: dump.py epoch
+        # truncation options
+        folder = args.source if os.path.isdir(args.source) else \
+            os.path.dirname(os.path.abspath(args.source))
+        if args.truncate:
+            path = os.path.join(folder, "checkpoint_best.pt")
+        else:
+            import glob as glob_module
+            numbered = sorted(
+                glob_module.glob(os.path.join(folder, "checkpoint_*.pt"))
+            )
+            numbered = [p for p in numbered if
+                        os.path.basename(p)[11:-3].isdigit()]
+            path = numbered[-1] if numbered else ""
+        if not path or not os.path.isfile(path):
+            raise SystemExit(f"no suitable checkpoint found in {folder}")
+        cap = int(load_checkpoint(path).get("epoch", 0))
+        max_epoch = cap if max_epoch is None else min(max_epoch, cap)
+
     selected = []
     for e in entries:
         if e.get("job") not in wanted_jobs:
             continue
         if e.get("scope") not in scopes:
             continue
-        if args.max_epoch is not None and (e.get("epoch") or 0) > args.max_epoch:
+        if max_epoch is not None and (e.get("epoch") or 0) > max_epoch:
             continue
         if args.valid and e.get("job") == "eval" and e.get("split") not in (
             "valid", None
@@ -125,7 +157,16 @@ def dump_trace(args):
             continue
         selected.append(e)
 
-    keys = list(DEFAULT_TRACE_KEYS)
+    if getattr(args, "list_keys", False):
+        all_keys = set()
+        for e in selected:
+            all_keys.update(e.keys())
+        for k in sorted(all_keys):
+            print(k)
+        return
+
+    keys = [] if getattr(args, "no_default_keys", False) \
+        else list(DEFAULT_TRACE_KEYS)
     if args.keysfile:
         with open(args.keysfile) as f:
             keys += [ln.strip() for ln in f if ln.strip()]
@@ -138,7 +179,8 @@ def dump_trace(args):
                   .strip())
         return
     writer = csv_module.writer(sys.stdout)
-    writer.writerow(keys)
+    if not getattr(args, "no_header", False):
+        writer.writerow(keys)
     for e in selected:
         row = []
         for k in keys:
