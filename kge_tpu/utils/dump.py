@@ -62,6 +62,10 @@ def add_dump_parsers(parser):
     p.add_argument("--raw", action="store_true")
     p.add_argument("--full", action="store_true")
     p.add_argument("--minimal", action="store_true")
+    p.add_argument("--include", nargs="*", default=None,
+                   help="restrict minimal output to these key prefixes")
+    p.add_argument("--exclude", nargs="*", default=None,
+                   help="drop these key prefixes from minimal output")
 
 
 def dump(args):
@@ -250,4 +254,12 @@ def dump_config(args):
         k: v for k, v in flat.items()
         if flat_default.get(k, "<ABSENT>") != v
     }
+    include = getattr(args, "include", None)
+    exclude = getattr(args, "exclude", None)
+    if include:
+        diff = {k: v for k, v in diff.items()
+                if any(k == p or k.startswith(p + ".") for p in include)}
+    if exclude:
+        diff = {k: v for k, v in diff.items()
+                if not any(k == p or k.startswith(p + ".") for p in exclude)}
     print(yaml.dump(diff, default_flow_style=False))
