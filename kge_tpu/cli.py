@@ -42,6 +42,11 @@ def add_config_flags(parser: argparse.ArgumentParser, config: Config):
         flags.add(key)
         arg_type = argparse_bool_type if isinstance(value, bool) else str
         parser.add_argument(f"--{key}", type=arg_type)
+    # reference-compatible alias (reference: cli.py:76-84)
+    parser.add_argument(
+        "--abort-when-cache-outdated", action="store_const", const=True,
+        default=None, dest="dataset.abort_when_cache_outdated",
+    )
 
 
 def create_parser(config: Config) -> argparse.ArgumentParser:

@@ -143,7 +143,19 @@ class Dataset(Configurable):
         if not self.config.get("dataset.pickle") or self.folder is None:
             return build_fn()
         cache_file = self._cache_path(name)
-        if not self._sources_newer_than_cache(cache_file, source_files):
+        stale = self._sources_newer_than_cache(cache_file, source_files)
+        if stale and os.path.isfile(cache_file):
+            try:
+                abort = self.config.get("dataset.abort_when_cache_outdated")
+            except KeyError:
+                abort = False
+            if abort:
+                raise ValueError(
+                    f"cached dataset file {cache_file} is outdated "
+                    "(--abort-when-cache-outdated is set); delete the cache "
+                    "or unset the flag to recompute"
+                )
+        if not stale:
             try:
                 with open(cache_file, "rb") as f:
                     version, payload = pickle.load(f)
