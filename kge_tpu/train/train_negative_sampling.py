@@ -162,57 +162,15 @@ class TrainingJobNegativeSampling(TrainingJob):
         model = self.model
         optimizer = self.optimizer
         batch_size = self.batch_size
-        e_pad = model.get_s_embedder().padded_vocab_size
-        r_pad = model.get_p_embedder().padded_vocab_size
-        ent_rows, rel_rows = self._touched_row_counts()
-        u_e = min(ent_rows, e_pad)
-        u_r = min(rel_rows, r_pad)
-        slot_nums = [int(self._sampler.num_samples[slot]) for slot in SLOTS]
 
         def step(params, opt_state, model_state, batch, lrs, rng):
-            triples = batch["triples"]
-            ent_ids = [triples[:, S], triples[:, O]]
-            rel_ids = [triples[:, P]]
-            for slot in SLOTS:
-                if slot_nums[slot] <= 0:
-                    continue
-                key = SLOT_STR[slot]
-                arr = batch.get(f"neg_unique_{key}")
-                if arr is None:
-                    arr = batch[f"negatives_{key}"]
-                (rel_ids if slot == P else ent_ids).append(arr.reshape(-1))
-            uniq_e = jnp.unique(
-                jnp.concatenate(ent_ids), size=u_e, fill_value=e_pad - 1
-            )
-            uniq_r = jnp.unique(
-                jnp.concatenate(rel_ids), size=u_r, fill_value=r_pad - 1
-            )
-
-            def remap(uniq, idx):
-                return jnp.searchsorted(uniq, idx).astype(idx.dtype)
-
-            batch2 = dict(batch)
-            batch2["triples"] = jnp.stack(
-                [
-                    remap(uniq_e, triples[:, S]),
-                    remap(uniq_r, triples[:, P]),
-                    remap(uniq_e, triples[:, O]),
-                ],
-                axis=1,
-            )
-            for slot in SLOTS:
-                if slot_nums[slot] <= 0:
-                    continue
-                key = SLOT_STR[slot]
-                uniq = uniq_r if slot == P else uniq_e
-                if f"neg_unique_{key}" in batch:
-                    batch2[f"neg_unique_{key}"] = remap(
-                        uniq, batch[f"neg_unique_{key}"]
-                    )
-                else:
-                    batch2[f"negatives_{key}"] = remap(
-                        uniq, batch[f"negatives_{key}"]
-                    )
+            # batch indices arrive pre-remapped to row positions; the
+            # sorted unique id vectors ship alongside (host collate,
+            # _add_row_index_payload)
+            uniq_e = batch["uniq_e"]
+            uniq_r = batch["uniq_r"]
+            batch2 = {k: v for k, v in batch.items()
+                      if k not in ("uniq_e", "uniq_r")}
 
             table_e = params["entity_embedder"]["weights"]
             table_r = params["relation_embedder"]["weights"]
@@ -383,7 +341,57 @@ class TrainingJobNegativeSampling(TrainingJob):
                     batch[f"neg_gather_{key}"] = ns.gather
                 else:
                     batch[f"negatives_{key}"] = ns.materialize()
+            if self._sparse_paths:
+                self._add_row_index_payload(batch)
             yield batch
+
+    def _add_row_index_payload(self, batch: Dict[str, np.ndarray]):
+        """Host-side uniquify + remap for row-sparse updates: ship sorted
+        unique id vectors and remapped indices so the compiled step does
+        only gathers and scatters (device-side unique/searchsorted cost
+        more than the whole sparse saving at small vocabularies)."""
+        e_pad = self.model.get_s_embedder().padded_vocab_size
+        r_pad = self.model.get_p_embedder().padded_vocab_size
+        ent_rows, rel_rows = self._touched_row_counts()
+        u_e, u_r = min(ent_rows, e_pad), min(rel_rows, r_pad)
+        triples = batch["triples"]
+        ent_parts = [triples[:, S], triples[:, O]]
+        rel_parts = [triples[:, P]]
+        for slot in SLOTS:
+            if self._sampler.num_samples[slot] <= 0:
+                continue
+            key = SLOT_STR[slot]
+            arr = batch.get(f"neg_unique_{key}",
+                            batch.get(f"negatives_{key}"))
+            (rel_parts if slot == P else ent_parts).append(arr.reshape(-1))
+
+        def uniquify(parts, size, fill):
+            uniq = np.unique(np.concatenate(parts))
+            if len(uniq) < size:
+                uniq = np.concatenate([
+                    uniq, np.full(size - len(uniq), fill, uniq.dtype)
+                ])
+            return uniq.astype(np.int32)
+
+        uniq_e = uniquify(ent_parts, u_e, e_pad - 1)
+        uniq_r = uniquify(rel_parts, u_r, r_pad - 1)
+        remap_e = lambda a: np.searchsorted(uniq_e, a).astype(np.int32)
+        remap_r = lambda a: np.searchsorted(uniq_r, a).astype(np.int32)
+        batch["triples"] = np.stack(
+            [remap_e(triples[:, S]), remap_r(triples[:, P]),
+             remap_e(triples[:, O])], axis=1,
+        )
+        for slot in SLOTS:
+            if self._sampler.num_samples[slot] <= 0:
+                continue
+            key = SLOT_STR[slot]
+            remap = remap_r if slot == P else remap_e
+            if f"neg_unique_{key}" in batch:
+                batch[f"neg_unique_{key}"] = remap(batch[f"neg_unique_{key}"])
+            else:
+                batch[f"negatives_{key}"] = remap(batch[f"negatives_{key}"])
+        batch["uniq_e"] = uniq_e
+        batch["uniq_r"] = uniq_r
 
     # ------------------------------------------------------------------ scoring
 
