@@ -48,6 +48,12 @@ class LookupEmbedder(KgeEmbedder):
             self._lookup_mode = config.get("tpu.embedding_lookup")
         except KeyError:
             self._lookup_mode = "auto"
+        try:
+            self._compute_dtype = config.check(
+                "tpu.compute_dtype", ["float32", "bfloat16"]
+            )
+        except KeyError:
+            self._compute_dtype = "float32"
         self.dropout_rate: float = self.get_option("dropout")
         if self.dropout_rate < 0:
             if config.get("train.auto_correct"):
@@ -133,15 +139,25 @@ class LookupEmbedder(KgeEmbedder):
 
     # ------------------------------------------------------------------ embed
 
+    def _cast(self, emb: jnp.ndarray, ctx: Ctx) -> jnp.ndarray:
+        # mixed precision: parameters stay f32, the scorer math runs in
+        # tpu.compute_dtype during training; evaluation always scores in
+        # f32 for exact tie semantics (Ctx.train False)
+        if ctx.train and self._compute_dtype == "bfloat16":
+            return emb.astype(jnp.bfloat16)
+        return emb
+
     def embed(self, params, indexes, ctx: Ctx) -> jnp.ndarray:
         from kge_tpu.ops.embedding import embedding_lookup
 
         emb = embedding_lookup(params["weights"], indexes, mode=self._lookup_mode)
-        return ctx.dropout(emb, self.dropout_rate)
+        return self._cast(ctx.dropout(emb, self.dropout_rate), ctx)
 
     def embed_all(self, params, ctx: Ctx) -> jnp.ndarray:
-        return ctx.dropout(
-            params["weights"][: self.vocab_size], self.dropout_rate
+        return self._cast(
+            ctx.dropout(params["weights"][: self.vocab_size],
+                        self.dropout_rate),
+            ctx,
         )
 
     # ------------------------------------------------------------------ penalty

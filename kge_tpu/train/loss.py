@@ -54,6 +54,10 @@ class KgeLoss:
 
     @staticmethod
     def create(config: Config) -> "KgeLoss":
+        return _Float32Loss(KgeLoss._create(config))
+
+    @staticmethod
+    def _create(config: Config) -> "KgeLoss":
         config.check(
             "train.loss",
             ["bce", "bce_mean", "bce_self_adversarial", "margin_ranking",
@@ -96,6 +100,27 @@ class KgeLoss:
 
     def __call__(self, scores, labels, row_weights=None, **kwargs) -> jnp.ndarray:
         raise NotImplementedError
+
+
+class _Float32Loss(KgeLoss):
+    """Casts scores to f32 before the loss math: with
+    ``tpu.compute_dtype: bfloat16`` the scorer runs in bf16, but
+    log/exp/softmax reductions stay f32 for stability."""
+
+    def __init__(self, inner: KgeLoss):
+        super().__init__(inner.config)
+        self._inner = inner
+
+    def __getattr__(self, name):
+        if name == "_inner":
+            raise AttributeError(name)
+        return getattr(self._inner, name)
+
+    def __call__(self, scores, labels, row_weights=None, **kwargs):
+        return self._inner(
+            jnp.asarray(scores, jnp.float32), labels,
+            row_weights=row_weights, **kwargs,
+        )
 
 
 class BCEWithLogitsKgeLoss(KgeLoss):
