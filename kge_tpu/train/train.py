@@ -527,10 +527,12 @@ class TrainingJob(TrainingOrEvaluationJob):
 
         buffered: List[Dict[str, np.ndarray]] = []
         buffered_sig = None
-        batches = _prefetch(
-            self._generate_batches(self.epoch),
-            int(self.config.get("tpu.prefetch_batches")),
-        )
+        depth = int(self.config.get("tpu.prefetch_batches"))
+        if depth == 0:
+            # honor the reference's DataLoader-worker intent: collate off
+            # the critical path when train.num_workers > 0
+            depth = min(2 * int(self.config.get("train.num_workers")), 8)
+        batches = _prefetch(self._generate_batches(self.epoch), depth)
         for batch_index, batch_np in enumerate(batches):
             for f in self.pre_batch_hooks:
                 f(self)
