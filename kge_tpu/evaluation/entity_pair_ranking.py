@@ -29,14 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from kge_tpu.evaluation.eval import EvaluationJob
+from kge_tpu.evaluation.entity_ranking import _bucket
 from kge_tpu.models import Ctx
 from kge_tpu.train.job import Job
-
-
-def _bucket(n: int) -> int:
-    if n <= 1:
-        return 1
-    return 1 << (n - 1).bit_length()
 
 
 class EntityPairRankingJob(EvaluationJob):
@@ -168,7 +163,12 @@ class EntityPairRankingJob(EvaluationJob):
                 ft = jnp.sum(is_close & fv, dtype=jnp.int32)
 
             g_raw, t_raw = int(greater), int(ties)
-            g_f, t_f = g_raw - int(fg), t_raw - int(ft)
+            # clamp: the chunked score_sp path and the score_spo path can
+            # disagree within float noise (the discrepancy entity ranking
+            # guards with its consistency check); never let the filtered
+            # counts go below the true pair itself
+            g_f = max(g_raw - int(fg), 0)
+            t_f = max(t_raw - int(ft), 1)
             ranks.append({
                 "rank": self._final_rank(g_raw, t_raw),
                 "rank_filtered": self._final_rank(g_f, t_f),

@@ -528,9 +528,10 @@ class TrainingJob(TrainingOrEvaluationJob):
         buffered: List[Dict[str, np.ndarray]] = []
         buffered_sig = None
         depth = int(self.config.get("tpu.prefetch_batches"))
-        if depth == 0:
-            # honor the reference's DataLoader-worker intent: collate off
-            # the critical path when train.num_workers > 0
+        if depth < 0:
+            # auto: honor the reference's DataLoader-worker intent
+            # (collate off the critical path when train.num_workers > 0);
+            # 0 explicitly disables prefetch
             depth = min(2 * int(self.config.get("train.num_workers")), 8)
         batches = _prefetch(self._generate_batches(self.epoch), depth)
         for batch_index, batch_np in enumerate(batches):
@@ -588,12 +589,21 @@ class TrainingJob(TrainingOrEvaluationJob):
         if line:
             self.config.log(line)
         if self.config.get("train.trace_level") == "batch":
-            for i, metrics in enumerate(batch_metrics):
-                self.trace(
-                    type=self.type_str, scope="batch", epoch=self.epoch,
-                    batch=i,
-                    **{k: float(v) for k, v in metrics.items()},
-                )
+            batch_index = 0
+            for k, metrics in batch_metrics:
+                # grouped dispatches return stacked [k] metric arrays;
+                # expand them back into one trace entry per real batch
+                for j in range(k):
+                    self.trace(
+                        type=self.type_str, scope="batch", epoch=self.epoch,
+                        batch=batch_index,
+                        **{
+                            key: float(np.asarray(v).reshape(-1)[j]
+                                       if np.ndim(v) else v)
+                            for key, v in metrics.items()
+                        },
+                    )
+                    batch_index += 1
         return trace_entry
 
     # ------------------------------------------------------------------ checkpoints

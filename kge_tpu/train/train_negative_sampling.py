@@ -57,8 +57,15 @@ class TrainingJobNegativeSampling(TrainingJob):
         Wikidata5M-scale vocabularies where dense [V, D] updates dominate
         the step."""
         config = self.config
-        mode = config.check("tpu.sparse_updates", ["auto", "on", "off"])
-        if mode == "off":
+        # canonical values are YAML-safe (unquoted on/off parse as YAML
+        # booleans); accept legacy aliases
+        raw = config.get("tpu.sparse_updates")
+        aliases = {True: "always", False: "never", "on": "always",
+                   "off": "never"}
+        if raw in aliases:
+            config.set("tpu.sparse_updates", aliases[raw], log=True)
+        mode = config.check("tpu.sparse_updates", ["auto", "always", "never"])
+        if mode == "never":
             return ()
         from kge_tpu.models.api import KgeModel
         from kge_tpu.models.embedder.lookup import LookupEmbedder
@@ -97,7 +104,7 @@ class TrainingJobNegativeSampling(TrainingJob):
             # dense table updates cost O(V) per step, the sparse machinery
             # O(touched rows) plus constant overhead (unique, searchsorted,
             # scatter). Measured crossover on v5e is ~V/touched = 50; only
-            # auto-enable with clear headroom. "on" skips this heuristic.
+            # auto-enable with clear headroom. "always" skips this heuristic.
             ent_rows, _ = self._touched_row_counts()
             if self.dataset.num_entities() < 32 * ent_rows:
                 reasons.append(
@@ -119,9 +126,9 @@ class TrainingJobNegativeSampling(TrainingJob):
                         "single-buffer limit for fused row scatters"
                     )
         if reasons:
-            if mode == "on":
+            if mode == "always":
                 raise ValueError(
-                    "tpu.sparse_updates=on is not applicable here: "
+                    "tpu.sparse_updates=always is not applicable here: "
                     + "; ".join(reasons)
                 )
             if mode == "auto":
@@ -138,12 +145,19 @@ class TrainingJobNegativeSampling(TrainingJob):
         batch_size = config.get("train.batch_size")
         shared = config.get("negative_sampling.shared")
         ent_rows, rel_rows = 2 * batch_size, batch_size
-        nums = {}
-        for slot, key in zip(SLOTS, ("s", "p", "o")):
-            n = config.get(f"negative_sampling.num_samples.{key}")
-            nums[key] = n
+        nums = {
+            key: config.get(f"negative_sampling.num_samples.{key}")
+            for key in ("s", "p", "o")
+        }
+        # mirror the sampler's auto-complete exactly (sampler.py: S copies
+        # O's original value, then O copies S's resolved value; P -> 0)
+        orig_o = nums["o"]
+        if nums["s"] < 0:
+            nums["s"] = orig_o if orig_o > 0 else 0
         if nums["o"] < 0:
-            nums["o"] = nums["s"]
+            nums["o"] = nums["s"] if nums["s"] > 0 else 0
+        if nums["p"] < 0:
+            nums["p"] = 0
         for key, n in nums.items():
             if n <= 0:
                 continue
@@ -367,6 +381,11 @@ class TrainingJobNegativeSampling(TrainingJob):
 
         def uniquify(parts, size, fill):
             uniq = np.unique(np.concatenate(parts))
+            if len(uniq) > size:
+                raise AssertionError(
+                    f"touched-row bound {size} below actual {len(uniq)} "
+                    "(bug in _touched_row_counts)"
+                )
             if len(uniq) < size:
                 uniq = np.concatenate([
                     uniq, np.full(size - len(uniq), fill, uniq.dtype)

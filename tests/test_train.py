@@ -151,3 +151,67 @@ def test_steps_per_dispatch_invariance():
         np.asarray(b.params["entity_embedder"]["weights"]),
         atol=1e-6,
     )
+
+
+def test_batch_trace_level_with_grouped_dispatch():
+    """train.trace_level: batch must expand grouped metrics back into one
+    trace entry per real batch."""
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+    from kge_tpu.utils.dump import read_trace
+    import math, os, tempfile
+
+    from tests.util import create_config
+
+    with tempfile.TemporaryDirectory() as folder:
+        config = create_config("toy", model="complex")
+        config.set("console.quiet", True)
+        config.set("lookup_embedder.dim", 16)
+        config.set("train.type", "negative_sampling")
+        config.set("train.batch_size", 32)
+        config.set("train.max_epochs", 1)
+        config.set("train.trace_level", "batch")
+        config.set("negative_sampling.num_samples.s", 3)
+        config.set("train.optimizer.default.args.lr", 0.1, create=True)
+        config.set("valid.every", 0)
+        config.set("tpu.steps_per_dispatch", 4)
+        dataset = Dataset.create(config)
+        config.folder = folder
+        config.init_folder() if hasattr(config, "init_folder") else None
+        job = TrainingJob.create(config, dataset)
+        job.run()
+        entries = read_trace(os.path.join(folder, "trace.yaml"))
+        batch_entries = [e for e in entries if e.get("scope") == "batch"]
+        expected = math.ceil(len(dataset.split("train")) / 32)
+        assert len(batch_entries) == expected
+        assert all("avg_loss" in e for e in batch_entries)
+
+
+def test_sparse_with_autocompleted_num_samples():
+    """num_samples.s: -1 copies from o (sampler auto-complete); the
+    sparse payload's static unique size must account for it (stable
+    shapes, no per-batch recompiles)."""
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+    from tests.util import create_config
+
+    config = create_config("toy", model="complex")
+    config.set("console.quiet", True)
+    config.set("lookup_embedder.dim", 16)
+    config.set("train.type", "negative_sampling")
+    config.set("train.batch_size", 32)
+    config.set("train.max_epochs", 2)
+    config.set("negative_sampling.num_samples.s", -1)
+    config.set("negative_sampling.num_samples.o", 5)
+    config.set("train.optimizer.default.args.lr", 0.1, create=True)
+    config.set("valid.every", 0)
+    config.set("tpu.sparse_updates", "always")
+    config.set("random_seed.default", 3)
+    dataset = Dataset.create(config)
+    job = TrainingJob.create(config, dataset)
+    assert job._sparse_paths
+    job._prepare()
+    job._is_prepared = True
+    shapes = {batch["uniq_e"].shape for batch in job._generate_batches(1)}
+    assert len(shapes) == 1, shapes
+    job.run()
