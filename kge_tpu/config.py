@@ -111,7 +111,11 @@ class Config:
             if dot < 0:
                 raise original
             parent, field = key[:dot], key[dot + 1 :]
+            seen = set()  # cycle guard: a.type: a (or a<->b) must raise
             while True:
+                if (parent, field) in seen:
+                    raise original
+                seen.add((parent, field))
                 try:
                     ptype = self.get(parent + ".type")
                 except KeyError:
@@ -279,7 +283,9 @@ class Config:
 
     def load_options(self, new_options: Dict[str, Any], create: bool = False,
                      overwrite=Overwrite.Yes):
-        """Like load() but from an already-parsed options dict."""
+        """Like load() but from an already-parsed options dict. The input
+        dict is not modified (checkpoint dicts get reused by callers)."""
+        new_options = copy.deepcopy(new_options)
         if Config.DEPRECATED_KEYS:
             new_options = self._rewrite_deprecated(new_options)
         if "modules" in new_options:

@@ -61,17 +61,15 @@ class EntityPairRankingJob(EvaluationJob):
 
         def chunk_counts(params, model_state, s_chunk, p, valid, true_score):
             """Counts over one [C, E] block of the pair-score matrix."""
+            from kge_tpu.ops.pallas.rank_count import greater_tie_counts
+
             ctx = Ctx(train=False, state=model_state)
             scores = model.score_sp(params, s_chunk, p, ctx=ctx)
-            scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
-            scores = jnp.where(valid[:, None], scores, -jnp.inf)
-            t = jnp.asarray(true_score)
-            is_close = jnp.abs(scores - t) <= (
-                self.tie_atol + self.tie_rtol * jnp.abs(t)
+            g, t = greater_tie_counts(
+                scores, jnp.asarray(true_score), valid[:, None], axis=None,
+                atol=self.tie_atol, rtol=self.tie_rtol,
             )
-            greater = jnp.sum((scores > t) & ~is_close, dtype=jnp.int32)
-            ties = jnp.sum(is_close, dtype=jnp.int32)
-            return greater, ties
+            return g, t
 
         return chunk_counts
 
@@ -150,17 +148,15 @@ class EntityPairRankingJob(EvaluationJob):
                 o_ids[: len(enc)] = [e % E for e in enc]
                 fvalid[: len(enc)] = True
                 p_vec = jnp.full((L,), p, jnp.int32)
+                from kge_tpu.ops.pallas.rank_count import greater_tie_counts
+
                 fscores = spo_fn(params, model_state,
                                  jnp.asarray(s_ids), p_vec,
                                  jnp.asarray(o_ids))
-                t_val = true_score
-                is_close = jnp.abs(fscores - t_val) <= (
-                    self.tie_atol + self.tie_rtol * jnp.abs(t_val)
+                fg, ft = greater_tie_counts(
+                    fscores, true_score, jnp.asarray(fvalid), axis=None,
+                    atol=self.tie_atol, rtol=self.tie_rtol,
                 )
-                fv = jnp.asarray(fvalid)
-                fg = jnp.sum((fscores > t_val) & ~is_close & fv,
-                             dtype=jnp.int32)
-                ft = jnp.sum(is_close & fv, dtype=jnp.int32)
 
             g_raw, t_raw = int(greater), int(ties)
             # clamp: the chunked score_sp path and the score_spo path can

@@ -48,9 +48,12 @@ class EntityRankingJob(EvaluationJob):
     def __init__(self, config, dataset, parent_job=None, model=None):
         super().__init__(config, dataset, parent_job, model=model)
         self.config.check("train.trace_level", ["epoch", "batch"])
-        self.filter_splits: List[str] = self.config.get(
+        # copy: Config.get returns leaf lists by reference, and appending
+        # in place would leak the eval split into the shared Config (and
+        # into every job built from it afterwards)
+        self.filter_splits: List[str] = list(self.config.get(
             "entity_ranking.filter_splits"
-        )
+        ))
         if self.eval_split not in self.filter_splits:
             self.filter_splits.append(self.eval_split)
         self.filter_with_test: bool = self.config.get(
@@ -206,15 +209,12 @@ class EntityRankingJob(EvaluationJob):
         model = self.model
         atol, rtol = self.tie_atol, self.tie_rtol
 
+        from kge_tpu.ops.pallas.rank_count import greater_tie_counts
+
         def counts_for(scores, true):
-            t = true[:, None]
-            scores = jnp.where(jnp.isnan(scores), NEG_INF, scores)
-            t = jnp.where(jnp.isnan(t), NEG_INF, t)
-            is_close = jnp.abs(scores - t) <= atol + rtol * jnp.abs(t)
-            is_greater = scores > t
-            ties = jnp.sum(is_close, axis=1, dtype=jnp.int32)
-            rank = jnp.sum(is_greater & ~is_close, axis=1, dtype=jnp.int32)
-            return rank, ties
+            return greater_tie_counts(
+                scores, true[:, None], True, axis=1, atol=atol, rtol=rtol
+            )
 
         def chunk_counts(params, model_state, s, p, o, chunk_ids, col_valid,
                          chunk_start, coords_sp, coords_po, o_true, s_true):
@@ -267,7 +267,9 @@ class EntityRankingJob(EvaluationJob):
         -inf in a dense score matrix, score ONLY the label coordinates
         and subtract their greater/tie contributions from the raw
         counts — same semantics, no [B, E] materialization at all."""
-        from kge_tpu.ops.pallas.rank_count import rank_counts
+        from kge_tpu.ops.pallas.rank_count import (
+            greater_tie_counts, rank_counts
+        )
 
         model = self.model
         atol, rtol = self.tie_atol, self.tie_rtol
@@ -279,6 +281,11 @@ class EntityRankingJob(EvaluationJob):
                o_true, s_true):
             with jax.default_matmul_precision("highest"):
                 ctx = Ctx(train=False, state=model_state)
+                # NaN -> -inf before counting (the rank kernel's contract;
+                # the generic path sanitizes the same way) so a NaN-scoring
+                # model ranks last instead of first
+                o_true = jnp.where(jnp.isnan(o_true), NEG_INF, o_true)
+                s_true = jnp.where(jnp.isnan(s_true), NEG_INF, s_true)
                 q_sp, q_po = model.dot_queries(params, s, p, o, ctx=ctx)
                 B = q_sp.shape[0]
 
@@ -308,26 +315,30 @@ class EntityRankingJob(EvaluationJob):
                     valid = coords < num_entities
                     ids = jnp.minimum(coords, num_entities - 1)
                     cand_sp, cand_po = model.dot_candidates(
-                        params, ids, ctx=ctx
+                        params, ids, ctx=ctx, sides=(side,)
                     )
                     cand = cand_sp if side == "sp" else cand_po
                     scores = jnp.einsum("bd,vbld->vbl", q, cand)
-                    t = true[None, :, None]
-                    is_close = jnp.abs(scores - t) <= atol + rtol * jnp.abs(t)
-                    is_greater = (scores > t) & ~is_close
-                    return (jnp.sum(is_greater & valid, axis=2,
-                                    dtype=jnp.int32),
-                            jnp.sum(is_close & valid, axis=2,
-                                    dtype=jnp.int32))
+                    return greater_tie_counts(
+                        scores, true[None, :, None], valid, axis=2,
+                        atol=atol, rtol=rtol,
+                    )
 
                 sp_sub_r, sp_sub_t = coord_counts(q_sp, coords_sp, o_true, "sp")
                 po_sub_r, po_sub_t = coord_counts(q_po, coords_po, s_true, "po")
-                # totals[v, 4, B]: v=0 raw, v>0 filtered by subtraction
+                # totals[v, 4, B]: v=0 raw, v>0 filtered by subtraction.
+                # Clamp at zero: the einsum label-score path and the Pallas
+                # kernel can classify a score at the exact tie boundary
+                # differently (float noise), and a negative count would
+                # crash the host-side histogram bincount. Ties clamp at 1
+                # (the true answer always ties with itself).
                 totals = [raw]
                 for k in range(num_rankings - 1):
                     totals.append(jnp.stack([
-                        raw[0] - sp_sub_r[k], raw[1] - sp_sub_t[k],
-                        raw[2] - po_sub_r[k], raw[3] - po_sub_t[k],
+                        jnp.maximum(raw[0] - sp_sub_r[k], 0),
+                        jnp.maximum(raw[1] - sp_sub_t[k], 1),
+                        jnp.maximum(raw[2] - po_sub_r[k], 0),
+                        jnp.maximum(raw[3] - po_sub_t[k], 1),
                     ]))
                 return jnp.stack(totals)
 

@@ -465,12 +465,21 @@ class KgeModel(KgeBase):
         q_po = self._scorer.query_vec(params["scorer"], o_emb, p_emb, "_po", ctx)
         return q_sp, q_po
 
-    def dot_candidates(self, params, entity_ids, ctx: Ctx):
-        """(cand_sp, cand_po) candidate matrices for the given entities."""
+    def dot_candidates(self, params, entity_ids, ctx: Ctx,
+                       sides=("sp", "po")):
+        """(cand_sp, cand_po) candidate matrices for the given entities;
+        sides not requested come back as None (the embed + transform is
+        skipped, which halves the work for one-sided callers)."""
         emb = self.get_s_embedder().embed(params["entity_embedder"],
                                           entity_ids, ctx)
-        cand_sp = self._scorer.candidate_vec(params["scorer"], emb, "sp_", ctx)
-        cand_po = self._scorer.candidate_vec(params["scorer"], emb, "_po", ctx)
+        cand_sp = (
+            self._scorer.candidate_vec(params["scorer"], emb, "sp_", ctx)
+            if "sp" in sides else None
+        )
+        cand_po = (
+            self._scorer.candidate_vec(params["scorer"], emb, "_po", ctx)
+            if "po" in sides else None
+        )
         return cand_sp, cand_po
 
     def score_sp_po(self, params, s, p, o, entity_subset=None,

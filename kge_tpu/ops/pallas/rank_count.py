@@ -38,9 +38,12 @@ def _kernel(q_ref, cand_ref, true_ref, cvalid_ref, rank_ref, ties_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [TB, TC]
+    scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
     true = true_ref[:]          # [TB, 1]
     valid = cvalid_ref[:]       # [1, TC]
-    is_close = jnp.abs(scores - true) <= atol + rtol * jnp.abs(true)
+    is_close = (scores == true) | (
+        jnp.abs(scores - true) <= atol + rtol * jnp.abs(true)
+    )
     is_greater = (scores > true) & jnp.logical_not(is_close)
     mask = valid > 0
     rank_ref[:] += jnp.sum(
@@ -64,9 +67,9 @@ def rank_counts(q: jnp.ndarray, cand: jnp.ndarray, true: jnp.ndarray,
                 tb: int = 256, tc: int = 2048):
     """(rank [B], ties [B]) of ``true`` within ``q @ cand^T`` scores.
 
-    ``cand_valid`` masks padded candidate rows. NaN scores compare as
-    -inf per the reference's NaN handling (the caller replaces NaN true
-    scores beforehand; q/cand are assumed finite).
+    ``cand_valid`` masks padded candidate rows. NaN scores and NaN true
+    scores compare as -inf per the reference's NaN handling (the caller
+    replaces NaN true scores beforehand).
     """
     B, D = q.shape
     C = cand.shape[0]
@@ -109,10 +112,30 @@ def rank_counts(q: jnp.ndarray, cand: jnp.ndarray, true: jnp.ndarray,
 def rank_counts_xla(q, cand, true, cand_valid, atol=1e-5, rtol=1e-4):
     """Reference XLA implementation (and CPU fallback)."""
     scores = q @ cand.T
+    scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
     t = true[:, None]
-    is_close = jnp.abs(scores - t) <= atol + rtol * jnp.abs(t)
+    is_close = (scores == t) | (jnp.abs(scores - t) <= atol + rtol * jnp.abs(t))
     is_greater = (scores > t) & ~is_close
     mask = cand_valid[None, :] > 0
     rank = jnp.sum(is_greater & mask, axis=1, dtype=jnp.int32)
     ties = jnp.sum(is_close & mask, axis=1, dtype=jnp.int32)
+    return rank, ties
+
+
+def greater_tie_counts(scores, true, valid, axis, atol=1e-5, rtol=1e-4):
+    """Canonical greater/tie counting over precomputed scores: NaN scores
+    rank last, ``valid`` masks padding, tie tolerance matches the
+    reference's semantics. Single source of truth for every counting
+    path (generic chunks, fused coordinate subtraction, pair ranking).
+    """
+    scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
+    t = jnp.where(jnp.isnan(true), -jnp.inf, true)
+    # the equality term matches torch/numpy isclose for equal infinities
+    # (|inf - inf| is NaN under the bare tolerance formula)
+    is_close = (scores == t) | (
+        jnp.abs(scores - t) <= atol + rtol * jnp.abs(t)
+    )
+    is_greater = (scores > t) & ~is_close
+    rank = jnp.sum(is_greater & valid, axis=axis, dtype=jnp.int32)
+    ties = jnp.sum(is_close & valid, axis=axis, dtype=jnp.int32)
     return rank, ties

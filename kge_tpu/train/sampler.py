@@ -157,6 +157,15 @@ class KgeSampler(Configurable):
                 negatives[i, bad[ok]] = fresh[ok]
                 bad = bad[~ok]
                 guard += 1
+            if len(bad):
+                # the (pair, slot) has almost no non-positive candidates;
+                # the reference's fast path would spin forever here --
+                # degrade with a visible warning instead
+                self.config.log(
+                    f"WARNING: filtering could not replace {len(bad)} "
+                    f"positive(s) in the negative sample for row {i} "
+                    f"(slot {SLOT_STR[slot]}) after 1000 rounds"
+                )
         return negatives
 
 
@@ -228,7 +237,7 @@ class KgeUniformSampler(KgeSampler):
         # pad unique to the static length num_samples+1
         padded = np.zeros(num_samples + 1, dtype=np.int32)
         padded[: len(unique)] = unique
-        if len(unique) < num_samples + 1:
+        if 0 < len(unique) < num_samples + 1:
             padded[len(unique):] = unique[0]
         return BatchNegativeSample(
             slot, num_samples, unique=padded, gather=gather
@@ -252,4 +261,7 @@ class KgeFrequencySampler(KgeSampler):
 
     def _sample(self, positive_triples, slot, num_samples):
         u = self._rng.random((len(positive_triples), num_samples))
-        return np.searchsorted(self._cdf[slot], u).astype(np.int32)
+        idx = np.searchsorted(self._cdf[slot], u)
+        # the float64 CDF's last entry can land below 1.0, letting
+        # searchsorted return vocabulary_size; clamp to the last id
+        return np.minimum(idx, self.vocabulary_size[slot] - 1).astype(np.int32)

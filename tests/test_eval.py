@@ -221,3 +221,26 @@ def test_training_loss_eval():
     job.verbose = False
     entry = job._run()
     assert "avg_loss" in entry and entry["avg_loss"] > 0
+
+
+def test_nan_scores_rank_last_not_first():
+    """A NaN-scoring model must not report perfect MRR: NaN true scores
+    sanitize to -inf and tie with every (-inf) candidate, yielding
+    mid-range rounded-mean ranks in BOTH eval implementations."""
+    import jax.numpy as jnp
+
+    for impl in ("generic", "fused"):
+        config, dataset, model, params, job = _setup(model_name="complex")
+        config.set("entity_ranking.implementation", impl)
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.full_like(x, jnp.nan), params
+        )
+        job = EvaluationJob.create(config, dataset, model=model)
+        job.set_params(params, model.init_state())
+        job.verbose = False
+        entry = job._run()
+        E = dataset.num_entities()
+        # every entity ties (incl. the true answer): rounded-mean rank =
+        # ties//2 + 1 (reference tie semantics)
+        expected = 1.0 / (E // 2 + 1)
+        assert abs(entry["mean_reciprocal_rank"] - expected) < 1e-9, impl
