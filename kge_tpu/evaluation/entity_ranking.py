@@ -38,10 +38,7 @@ from kge_tpu.train.job import Job
 NEG_INF = -jnp.inf
 
 
-def _bucket(n: int) -> int:
-    if n <= 1:
-        return 1
-    return 1 << (n - 1).bit_length()
+from kge_tpu.utils.misc import pow2_bucket as _bucket
 
 
 class EntityRankingJob(EvaluationJob):

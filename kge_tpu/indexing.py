@@ -85,10 +85,12 @@ class KvsAllIndex:
     def _positions(self, pairs: np.ndarray) -> np.ndarray:
         """Return index into ``keys`` for each pair; -1 when absent."""
         pairs = np.asarray(pairs, dtype=np.int64)
+        if len(self._encoded) == 0:  # empty split: nothing is present
+            return np.full(len(pairs), -1, dtype=np.int64)
         enc = pairs[:, 0] * self._stride + pairs[:, 1]
         pos = np.searchsorted(self._encoded, enc)
         pos_clip = np.minimum(pos, len(self._encoded) - 1)
-        found = (len(self._encoded) > 0) & (self._encoded[pos_clip] == enc)
+        found = self._encoded[pos_clip] == enc
         # out-of-stride pairs can never be present
         found &= (pairs[:, 1] < self._stride) & (pairs[:, 1] >= 0)
         return np.where(found, pos_clip, -1)

@@ -182,9 +182,18 @@ class KgeEmbedder(KgeBase):
                vocab_size: int, init_for_load_only: bool = False) -> "KgeEmbedder":
         try:
             embedder_type = config.get_default(configuration_key + ".type")
+        except KeyError as e:
+            raise KeyError(
+                f"Can't find {configuration_key}.type in config"
+            ) from e
+        try:
             class_name = config.get(embedder_type + ".class_name")
-        except KeyError:
-            raise Exception(f"Can't find {configuration_key}.type in config")
+        except KeyError as e:
+            raise KeyError(
+                f"Embedder type {embedder_type!r} (from "
+                f"{configuration_key}.type) has no {embedder_type}.class_name"
+                " — is the component YAML imported?"
+            ) from e
         return init_from(
             class_name,
             config.modules(),

@@ -42,10 +42,7 @@ _ACTIVATIONS = {
 }
 
 
-def _bucket_pow2(n: int) -> int:
-    if n <= 1:
-        return 1
-    return 1 << (n - 1).bit_length()
+from kge_tpu.utils.misc import pow2_bucket as _bucket_pow2
 
 
 def build_graph_buffers(triples: np.ndarray, num_relations: int,
@@ -87,6 +84,15 @@ def build_graph_buffers(triples: np.ndarray, num_relations: int,
             np.stack(rows) if rows else np.full((1, emax), -1, np.int32)
         )
         graph["rel_bucket_ids"] = np.asarray(row_rels or [0], dtype=np.int32)
+        # (relation, node) group ids for RGCN mean normalization: dense
+        # group indices avoid materializing a [R*N] count buffer on
+        # device (multi-GB at Wikidata scale)
+        for orient, nodes in (("vert", edge_index[0]), ("horiz", edge_index[1])):
+            enc = edge_type.astype(np.int64) * (int(nodes.max()) + 1 if
+                                                len(nodes) else 1) + nodes
+            uniq, inv = np.unique(enc, return_inverse=True)
+            graph[f"rgcn_groups_{orient}"] = inv.astype(np.int32)
+            graph[f"rgcn_num_groups_{orient}"] = int(len(uniq))
     return graph
 
 
@@ -213,7 +219,10 @@ class RgnnEncoder(KgeBase):
         )
 
     def graph(self) -> Dict[str, jnp.ndarray]:
-        return {k: jnp.asarray(v) for k, v in self._graph_np.items()}
+        return {
+            k: v if isinstance(v, int) else jnp.asarray(v)
+            for k, v in self._graph_np.items()
+        }
 
     def init_params(self, rng):
         return self.rgnn.init_params(rng)

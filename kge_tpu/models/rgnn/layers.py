@@ -157,6 +157,18 @@ class MessagePassingLayer(RgnnLayerBase):
                     "weight decomposition requires per_relation propagation"
                 )
             self.propagation = f"per_relation_{self.weight_decomposition}"
+        elif self.propagation == "per_relation":
+            # the reference only supports per_relation WITH basis/block
+            # decomposition (rgnn_encoder.py:458-460 raises the same way)
+            raise NotImplementedError(
+                "per_relation propagation requires weight_decomposition "
+                "basis or block"
+            )
+        if self.propagation.startswith("per_relation") and self.message_weight:
+            raise NotImplementedError(
+                "message_weight is not supported with per_relation "
+                "propagation"
+            )
         if self.attention:
             self.use_edge_norm = False
         if self.propagation in ("single",):
@@ -519,12 +531,12 @@ class RgcnLayer(RgnnLayerBase):
         edge_mask, self_mask = self._edge_masks(ctx, E, x.dtype)
         src_all, nbr_all = edge_index[0], edge_index[1]
 
-        # per-(rel, node) counts for mean normalization; int32 keys are
-        # safe while R*N < 2^31 (checked at init)
-        assert R * N < 2 ** 31, "rel-node key space exceeds int32"
-        key_node = src_all if self.vertical_stacking else nbr_all
-        keys = edge_type.astype(jnp.int32) * N + key_node
-        counts = segment_sum(edge_mask, keys, R * N)
+        # per-(rel, node) mean normalization via host-built dense group
+        # ids (a [R*N] count buffer would be multi-GB at scale)
+        orient = "vert" if self.vertical_stacking else "horiz"
+        groups = graph[f"rgcn_groups_{orient}"]
+        num_groups = graph[f"rgcn_num_groups_{orient}"]
+        counts = segment_sum(edge_mask, groups, num_groups)
         self_counts = self_mask  # self edges: one per node
 
         use_blocks = self.weight_decomposition == "block"
@@ -542,10 +554,7 @@ class RgcnLayer(RgnnLayerBase):
             src = src_all[pos]
             nbr = nbr_all[pos]
             mask = valid * edge_mask[pos]
-            key = rel.astype(jnp.int32) * N + (
-                src if self.vertical_stacking else nbr
-            )
-            vals = mask / jnp.maximum(counts[key], 1.0)
+            vals = mask / jnp.maximum(counts[groups[pos]], 1.0)
             h_j = jnp.take(x, nbr, axis=0)
             if use_blocks:
                 blocks = params["blocks"][rel]
@@ -617,7 +626,17 @@ class WeightedGCNLayer(RgnnLayerBase):
         edge_index, edge_type = graph["edge_index"], graph["edge_type"]
         E = edge_index.shape[1]
         N = self.num_entities
-        _, self_mask = self._edge_masks(ctx, E, x.dtype)
+        # the reference WGCN layer has no edge dropout (only self-edge
+        # dropout); skip the edge-mask draw entirely
+        if ctx.train and self.self_edge_dropout > 0:
+            self_mask = jax.random.bernoulli(
+                ctx.take_rng(), 1.0 - self.self_edge_dropout, (N,)
+            ).astype(x.dtype)
+        else:
+            self_mask = jnp.ones(N, x.dtype)
+        # note: edges already include inverse copies AND the reference
+        # additionally symmetrizes with A^T (rgnn_encoder.py:957-958);
+        # the explicit transpose pass below matches that exactly
         src = jnp.concatenate([edge_index[0], jnp.arange(N, dtype=edge_index.dtype)])
         dst = jnp.concatenate([edge_index[1], jnp.arange(N, dtype=edge_index.dtype)])
         types = jnp.concatenate([

@@ -81,3 +81,11 @@ def round_to_points(round_points_to: List[int], to_round: int) -> int:
     if len(round_points_to) == 0:
         return to_round
     return min(round_points_to, key=lambda x: abs(x - to_round))
+
+
+def pow2_bucket(n: int) -> int:
+    """Smallest power of two >= n (shape bucketing for ragged paddings:
+    bounds the number of compiled program shapes)."""
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
