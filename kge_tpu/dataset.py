@@ -202,7 +202,17 @@ class Dataset(Configurable):
                  ids_key: Optional[str] = None,
                  ignore_duplicates: bool = False):
         """Load a map file into a dict or (for dense ids) list."""
-        if key not in self._meta:
+        # the in-memory cache must distinguish the requested form: the
+        # same key can be read as dict or list (as_list) or remapped
+        # (ids_key), and returning whichever form a previous caller
+        # built corrupts consumers (e.g. id inversion enumerating dict
+        # keys instead of a list)
+        meta_key = key
+        if as_list:
+            meta_key += "::list"
+        if ids_key is not None:
+            meta_key += f"::as-{ids_key}"
+        if meta_key not in self._meta:
             filename = self.config.get(f"dataset.files.{key}.filename")
             filetype = self.config.get(f"dataset.files.{key}.type")
             if maptype and filetype != maptype and filetype != "idmap":
@@ -237,19 +247,27 @@ class Dataset(Configurable):
             if filetype == "idmap" and ids_key is not None:
                 # remap external ids through an id file to dense indexes
                 ids = self.load_map(ids_key, as_list=True)
+                ids_path = os.path.join(
+                    self.folder,
+                    self.config.get(f"dataset.files.{ids_key}.filename"),
+                )
 
                 def build_idmap():
                     raw = build()
                     return [raw.get(ext) for ext in ids]
 
-                payload = self._cached(f"map-{key}-as-{ids_key}", [path], build_idmap)
+                # both source files invalidate the cache: a regenerated
+                # ids file must not serve stale, misaligned strings
+                payload = self._cached(
+                    f"map-{key}-as-{ids_key}", [path, ids_path], build_idmap
+                )
             else:
                 payload = self._cached(
                     f"map-{key}{'-list' if as_list else ''}", [path], build
                 )
             self.config.log(f"Loaded map {key} ({len(payload)} entries)")
-            self._meta[key] = payload
-        return self._meta[key]
+            self._meta[meta_key] = payload
+        return self._meta[meta_key]
 
     def files_of_type(self, file_type: str) -> List[str]:
         return [

@@ -14,6 +14,9 @@ from kge_tpu.utils.metric import Metric
 
 
 class AutoSearchJob(SearchJob):
+    #: sentinel trial id: backend cannot generate yet, wait for results
+    WAIT = "wait"
+
     def __init__(self, config, dataset, parent_job=None):
         super().__init__(config, dataset, parent_job)
         self.parameters: List[Dict[str, Any]] = []  # per trial
@@ -26,8 +29,9 @@ class AutoSearchJob(SearchJob):
 
     def register_trial(self, parameters: Optional[Dict] = None
                        ) -> Tuple[Optional[Dict], Optional[int]]:
-        """Obtain the next trial's parameters from the backend; (None,
-        None) means 'wait for earlier trials to finish first'."""
+        """Obtain the next trial's parameters from the backend.
+        (None, AutoSearchJob.WAIT) means 'wait for earlier trials to
+        finish first'; (None, None) terminates trial creation."""
         raise NotImplementedError
 
     def register_trial_result(self, trial_id, parameters, trace_entry):
@@ -75,11 +79,12 @@ class AutoSearchJob(SearchJob):
                 trial_id = trial_no
             else:
                 parameters, trial_id = self.register_trial()
+                if parameters is None and trial_id == self.WAIT:
+                    self.wait_task()
+                    self._collect_results(metric_name)
+                    continue
                 if trial_id is None:
                     break
-                if parameters is None:
-                    self.wait_task()
-                    continue
                 self.parameters.append(parameters)
                 self.results.append(None)
             if trial_no < len(self.results) and self.results[trial_no] is not None:
@@ -94,10 +99,14 @@ class AutoSearchJob(SearchJob):
             for key, value in parameters.items():
                 trial_config.set(key, value, create=True)
 
+            from kge_tpu.search.search import run_trial
+
             self.submit_task(
-                self._run_train_job,
-                (self, trial_no, trial_config, self._planned_trials(),
-                 list(parameters.keys())),
+                run_trial,
+                self.make_trial_payload(
+                    trial_no, trial_config, self._planned_trials(),
+                    list(parameters.keys()),
+                ),
             )
             # collect any ready results
             self._collect_results(metric_name)
@@ -137,12 +146,19 @@ class AutoSearchJob(SearchJob):
 
     def _collect_results(self, metric_name):
         for result in self.ready_task_results:
-            trial_index, best, metric_value = result
-            if best is not None:
-                while len(self.results) <= trial_index:
-                    self.results.append(None)
-                self.results[trial_index] = best
-                self.register_trial_result(
-                    trial_index, self.parameters[trial_index], best
+            trial_index = result["index"]
+            best = result["best"]
+            self.record_trial_trace(result)
+            if result.get("error"):
+                self.config.log(
+                    f"Trial {trial_index} failed: {result['error']}"
                 )
+            while len(self.results) <= trial_index:
+                self.results.append(None)
+            self.results[trial_index] = best
+            # failures are reported too (backends log them; ax would
+            # otherwise leave the trial RUNNING forever)
+            self.register_trial_result(
+                trial_index, self.parameters[trial_index], best
+            )
         self.ready_task_results = []

@@ -130,7 +130,7 @@ class AxSearchJob(AutoSearchJob):
     def register_trial_result(self, trial_id, parameters, trace_entry):
         if HAVE_AX and self.ax_client is not None:
             metric_name = self.config.get("valid.metric")
-            if trace_entry is None:
+            if trace_entry is None or metric_name not in trace_entry:
                 self.ax_client.log_trial_failure(trial_index=trial_id)
             else:
                 self.ax_client.complete_trial(
@@ -145,8 +145,24 @@ class AxSearchJob(AutoSearchJob):
 
     def resume(self):
         super().resume()
-        # regenerate already-used sobol arms so the sequence continues
+        if not len(self.parameters):
+            return
+        # regenerate already-used arms so the sequence continues
         # deterministically (reference: kge/job/search_ax.py:71-92)
-        if not HAVE_AX and self._sobol is not None and len(self.parameters):
+        if HAVE_AX and self.ax_client is not None:
+            metric_name = self.config.get("valid.metric")
+            for i, result in enumerate(self.results):
+                # fixed sobol seed: regenerated arm i gets trial id i;
+                # the stored parameters stay the source of truth for the
+                # trial's config (reference caveat: GP+EI arms do not
+                # regenerate identically, ids still align)
+                _, trial_id = self.ax_client.get_next_trial()
+                if result is not None and metric_name in result:
+                    self.ax_client.complete_trial(
+                        trial_index=trial_id,
+                        raw_data=float(result[metric_name]),
+                    )
+            self._generated = len(self.parameters)
+        elif self._sobol is not None:
             self._sobol.fast_forward(len(self.parameters))
             self._generated = len(self.parameters)

@@ -51,20 +51,29 @@ class ManualSearchJob(SearchJob):
             self.config.log("manual_search.run is False; only created folders")
             return {}
 
+        from kge_tpu.search.search import run_trial
+
         for i, trial_config, flat in tasks:
             self.submit_task(
-                self._run_train_job,
-                (self, i, trial_config, len(tasks), list(flat.keys())),
+                run_trial,
+                self.make_trial_payload(i, trial_config, len(tasks),
+                                        list(flat.keys())),
             )
         self.wait_task(return_when="ALL_COMPLETED")
 
         best = None
         metric = Metric(self)
-        for trial_index, entry, value in self.ready_task_results:
+        for result in self.ready_task_results:
+            self.record_trial_trace(result)
+            if result.get("error"):
+                self.config.log(
+                    f"Trial {result['index']} failed: {result['error']}"
+                )
+            entry, value = result["best"], result["metric_value"]
             if entry is None or value is None:
                 continue
             if best is None or metric.better(value, best[1]):
-                best = (trial_index, value, entry)
+                best = (result["index"], value, entry)
         if best is not None:
             self.config.log(
                 f"Best trial: {best[0]} with {metric_name}={best[1]}"

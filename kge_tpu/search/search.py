@@ -78,67 +78,114 @@ class SearchJob(Job):
 
     # ------------------------------------------------------------ train trial
 
-    def _run_train_job(self, sicnk) -> Dict[str, Any]:
-        """Run/resume one training trial; returns (index, best entry)
-        (reference: kge/job/search.py:107-232)."""
-        search_job, train_job_index, train_job_config, train_job_count, trace_keys = sicnk
-        try:
-            os.makedirs(train_job_config.folder, exist_ok=True)
-            train_job_config.init_folder()
-            config = train_job_config
-            config.log(
-                f"Starting training job {train_job_index + 1} "
-                f"of {train_job_count}..."
+    def make_trial_payload(self, train_job_index: int, trial_config: Config,
+                           train_job_count: int, trace_keys: List[str]):
+        """Picklable payload for one trial: plain data only, so the same
+        function runs inline or in a spawn-context worker process (bound
+        methods / the SearchJob itself cannot cross the process boundary
+        — the pool's futures hold thread locks)."""
+        device = self.device_pool[train_job_index % len(self.device_pool)]
+        return dict(
+            index=train_job_index,
+            options=copy.deepcopy(trial_config.options),
+            folder=trial_config.folder,
+            count=train_job_count,
+            trace_keys=list(trace_keys),
+            metric_name=self.config.get("valid.metric"),
+            metric_max=bool(self.config.get("valid.metric_max")),
+            on_error=self.on_error,
+            device=device,
+            dataset_folder=self.dataset.folder,
+        )
+
+    def record_trial_trace(self, result: Dict[str, Any]):
+        """Copy a finished trial's validation entries into the search
+        trace (reference: kge/job/search.py copy_to_search_trace)."""
+        for entry in result.get("valid_entries") or []:
+            self.config.trace(**entry)
+
+
+def run_trial(payload: Dict[str, Any]) -> Dict[str, Any]:
+    """Run/resume one training trial from a plain-data payload (module
+    level: runs identically inline and in a spawned worker process).
+    Returns a picklable result dict (reference: kge/job/search.py:107-232).
+    """
+    index = payload["index"]
+    try:
+        if payload["device"] == "cpu":
+            # in a spawned worker the platform must be pinned before any
+            # backend initializes (some environments force-register an
+            # accelerator plugin at interpreter start)
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        config = Config()
+        config.options = copy.deepcopy(payload["options"])
+        config.folder = payload["folder"]
+        config.set("job.device", payload["device"])
+        os.makedirs(config.folder, exist_ok=True)
+        config.init_folder()
+        config.log(
+            f"Starting training job {index + 1} of {payload['count']}..."
+        )
+        dataset = Dataset.create(config, folder=payload["dataset_folder"])
+
+        checkpoint_file = None
+        epoch = config.last_checkpoint_number()
+        if epoch is not None:
+            checkpoint_file = config.checkpoint_file(epoch)
+        if checkpoint_file is not None:
+            from kge_tpu.utils.io import load_checkpoint
+
+            checkpoint = load_checkpoint(checkpoint_file)
+            job = Job.create_from(
+                checkpoint, new_config=config, dataset=dataset
             )
-            checkpoint_file = None
-            epoch = config.last_checkpoint_number()
-            if epoch is not None:
-                checkpoint_file = config.checkpoint_file(epoch)
-            if checkpoint_file is not None:
-                from kge_tpu.utils.io import load_checkpoint
+        else:
+            job = Job.create(config, dataset)
+        job.run()
 
-                checkpoint = load_checkpoint(checkpoint_file)
-                job = Job.create_from(
-                    checkpoint, new_config=config, dataset=self.dataset,
-                    parent_job=self,
-                )
-            else:
-                job = Job.create(config, self.dataset, parent_job=self)
+        hyperparameters = {
+            key: config.get_default(key) for key in payload["trace_keys"]
+        }
+        valid_entries = []
+        for entry in job.valid_trace:
+            e = dict(entry)
+            e.update(
+                folder=os.path.basename(config.folder),
+                train_job_index=index,
+                scope="train",
+                **hyperparameters,
+            )
+            valid_entries.append(e)
 
-            # copy the trial's validation results into the search trace
-            hyperparameters = {key: config.get_default(key) for key in trace_keys}
-
-            def copy_to_search_trace(train_job):
-                if not train_job.valid_trace:
-                    return
-                entry = dict(train_job.valid_trace[-1])
-                entry.update(
-                    dict(
-                        folder=os.path.basename(config.folder),
-                        train_job_index=train_job_index,
-                        scope="train",
-                        **hyperparameters,
-                    )
-                )
-                self.config.trace(**entry)
-
-            job.post_valid_hooks.append(copy_to_search_trace)
-            job.run()
-
-            # find best epoch
-            metric_name = self.config.get("valid.metric")
-            if job.valid_trace:
-                metric = Metric(self)
-                values = [t[metric_name] for t in job.valid_trace]
-                best_index = metric.best_index(values)
-                best = dict(job.valid_trace[best_index])
-            else:
-                best = {}
-            del job
-            gc.collect()
-            return (train_job_index, best, best.get(metric_name))
-        except BaseException as e:
-            self.config.log(f"Trial {train_job_index} failed: {e!r}")
-            if self.on_error == "continue":
-                return (train_job_index, None, None)
-            raise
+        # find best epoch; a trial whose validation never produced the
+        # selection metric counts as failed
+        metric_name = payload["metric_name"]
+        valid_with_metric = [
+            t for t in job.valid_trace if metric_name in t
+        ]
+        if valid_with_metric:
+            values = [t[metric_name] for t in valid_with_metric]
+            best_index = (
+                max(range(len(values)), key=values.__getitem__)
+                if payload["metric_max"]
+                else min(range(len(values)), key=values.__getitem__)
+            )
+            best = dict(valid_with_metric[best_index])
+            metric_value = best[metric_name]
+        else:
+            config.log(
+                f"Trial {index} produced no '{metric_name}' validation "
+                "entry; treating as failed"
+            )
+            best, metric_value = None, None
+        del job
+        gc.collect()
+        return dict(index=index, best=best, metric_value=metric_value,
+                    valid_entries=valid_entries)
+    except BaseException as e:
+        if payload["on_error"] == "continue":
+            return dict(index=index, best=None, metric_value=None,
+                        valid_entries=[], error=repr(e))
+        raise

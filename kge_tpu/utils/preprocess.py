@@ -108,7 +108,15 @@ def process_dataset(folder: str, raw_splits: List[RawSplit],
     sample_size = None
     for raw in raw_splits:
         if raw.key == "valid":
-            sample_size = len(raw.rows)
+            if raw.label_field is not None:
+                # labeled splits (WN11): size by POSITIVES only, matching
+                # the written valid split (the raw rows include an equal
+                # number of negatives)
+                sample_size = sum(
+                    1 for r in raw.rows if int(r[raw.label_field]) == 1
+                )
+            else:
+                sample_size = len(raw.rows)
 
     def add_file(key: str, filename: str, size: int, ftype: str = "triples",
                  **extra):

@@ -77,10 +77,13 @@ class Trace:
             current = tracefile
             try:
                 args = ["grep", "-F", conjunctions[0], tracefile]
-                out = subprocess.run(
-                    args, capture_output=True, text=True
-                ).stdout
-                lines = out.splitlines()
+                proc = subprocess.run(args, capture_output=True, text=True)
+                if proc.returncode > 1:
+                    # 0: matches, 1: no matches; >1: error (e.g. missing
+                    # file) -- fall through to the pure-Python path so a
+                    # typo'd path raises instead of returning []
+                    raise OSError(proc.stderr.strip() or "grep failed")
+                lines = proc.stdout.splitlines()
                 for c in conjunctions[1:]:
                     out = subprocess.run(
                         ["grep", "-F", c], input="\n".join(lines),
