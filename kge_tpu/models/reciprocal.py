@@ -102,13 +102,19 @@ class ReciprocalRelationsModel(KgeModel):
         q_po = self._scorer.query_vec(params["scorer"], o_emb, p_inv, "sp_", ctx)
         return q_sp, q_po
 
-    def dot_candidates(self, params, entity_ids, ctx=None):
+    def dot_candidates(self, params, entity_ids, ctx=None,
+                       sides=("sp", "po")):
+        # Both query sides are "sp_"-form under reciprocal rewriting, so
+        # one candidate matrix serves both; compute it iff any side asks.
         ctx = ctx or Ctx()
+        if not sides:
+            return None, None
         emb = self.get_s_embedder().embed(
             params["entity_embedder"], entity_ids, ctx
         )
         cand = self._scorer.candidate_vec(params["scorer"], emb, "sp_", ctx)
-        return cand, cand
+        return (cand if "sp" in sides else None,
+                cand if "po" in sides else None)
 
     def score_sp_po(self, params, s, p, o, entity_subset=None, ctx=None):
         ctx = ctx or Ctx()

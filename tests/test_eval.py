@@ -150,6 +150,39 @@ def test_fused_matches_generic(model_name):
             )
 
 
+@pytest.mark.parametrize("base", ["complex", "distmult"])
+def test_fused_matches_generic_reciprocal(base):
+    """Reciprocal-wrapped bilinear models (the reference's most common
+    recipe shape) must run the fused path under auto and reproduce the
+    generic metrics (round-1 verdict bug #1: dot_candidates lacked the
+    sides kwarg and crashed)."""
+    traces = {}
+    for impl in ("generic", "fused"):
+        config = create_config("dataset_test", model=base)
+        config._import("reciprocal_relations_model")
+        config.set("reciprocal_relations_model.base_model.type", base)
+        config.set("model", "reciprocal_relations_model")
+        config.set("job.type", "eval")
+        config.set("eval.split", "test")
+        config.set("lookup_embedder.dim", 16)
+        config.set("entity_ranking.chunk_size", 3)
+        config.set("entity_ranking.implementation", impl)
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        model = KgeModel.create(config, dataset)
+        if impl == "fused":
+            assert model.supports_dot_ranking()
+        job = EvaluationJob.create(config, dataset, model=model)
+        job.set_params(model.init_params(jax.random.PRNGKey(123)),
+                       model.init_state())
+        traces[impl] = job.run()
+    for key in traces["generic"]:
+        if key.startswith(("mean_", "hits_")):
+            np.testing.assert_allclose(
+                traces["generic"][key], traces["fused"][key],
+                rtol=1e-6, err_msg=key,
+            )
+
+
 def test_fused_reciprocal_conve_falls_back():
     """Non-bilinear scorers use the generic path under auto."""
     config = create_config("dataset_test", model="conve")
