@@ -214,6 +214,9 @@ def main():
             import jax
 
             jax.config.update("jax_platforms", "cpu")
+        from kge_tpu.parallel.distributed import maybe_init_from_config
+
+        maybe_init_from_config(config)
         seed_from_config(config)
         config.log("Using folder " + str(config.folder))
         dataset = Dataset.create(config)

@@ -486,7 +486,11 @@ class EntityRankingJob(EvaluationJob):
                 f(self)
 
         # Fetch phase: one bulk transfer after all device work is enqueued.
-        pending = jax.device_get(pending)
+        # (fetch_global = device_get plus cross-process replication of any
+        # mesh-sharded count arrays under multi-host)
+        from kge_tpu.parallel.distributed import fetch_global
+
+        pending = fetch_global(pending)
         for batch, B, totals_dev, spo_pair, o_true, s_true in pending:
             self._check_spo_consistency(spo_pair, o_true, s_true)
             totals = np.asarray(totals_dev, dtype=np.int64)

@@ -1,10 +1,16 @@
-"""Multi-host initialization and hybrid ICI/DCN meshes.
+"""Multi-host initialization, hybrid ICI/DCN meshes, and global fetches.
 
 The reference has no distributed communication backend at all (SURVEY.md
-section 2.5); this module is the new framework's first-class comm layer:
-``jax.distributed`` process bootstrap plus meshes whose "model" axis
-stays inside a slice (collectives ride ICI) while "data" may span slices
-over DCN.
+section 2.5); this module is the framework's comm layer: ``jax.distributed``
+process bootstrap plus meshes whose "model" axis stays inside one
+process/slice (collectives ride ICI) while "data" spans processes (DCN).
+
+Wiring: ``TrainingJob.__init__`` and the CLI call
+:func:`maybe_init_from_config` (driven by the ``tpu.multihost`` config
+section) before any backend use; ``parallel.mesh.build_mesh`` delegates
+here whenever ``jax.process_count() > 1``; checkpoint/metric fetches go
+through :func:`fetch_global`, which replicates cross-process shards
+before pulling them to host.
 """
 
 from __future__ import annotations
@@ -17,39 +23,88 @@ import numpy as np
 
 from kge_tpu.config import Config
 
+_INITIALIZED = False
+
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):
     """Initialize jax.distributed from args or the standard env vars
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or
-    the TPU pod metadata when available). Idempotent."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    TPU pod metadata when available). Idempotent per process."""
+    global _INITIALIZED
+    if _INITIALIZED:
+        return
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
     if coordinator_address is None and num_processes is None:
-        # single-process run or TPU pod auto-bootstrap
+        # TPU pod auto-bootstrap (slice metadata carries the coordinator);
+        # on failure this is a plain single-process run
         try:
             jax.distributed.initialize()
+            _INITIALIZED = True
         except Exception:
             pass
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", 1)),
+        num_processes=num_processes
+        or int(os.environ.get("JAX_NUM_PROCESSES", 1)),
         process_id=process_id if process_id is not None else int(
             os.environ.get("JAX_PROCESS_ID", 0)
         ),
     )
+    _INITIALIZED = True
+
+
+def maybe_init_from_config(config: Config):
+    """Bootstrap jax.distributed per the ``tpu.multihost`` section.
+
+    - ``off``: never initialize.
+    - ``on``: initialize from the config keys (falling back to env vars /
+      pod metadata for unset ones).
+    - ``auto`` (default): initialize only when an explicit signal is
+      present — a configured or env coordinator address / process count —
+      so plain single-host runs never touch jax.distributed.
+
+    Must run before the first backend touch (jax.distributed.initialize
+    rejects late calls); safe to call multiple times.
+    """
+    mode = str(config.get("tpu.multihost.enabled")).lower()
+    if mode in ("off", "false", "0"):
+        return
+    addr = config.get("tpu.multihost.coordinator_address") or None
+    nproc = int(config.get("tpu.multihost.num_processes"))
+    pid = int(config.get("tpu.multihost.process_id"))
+    env_addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    env_nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if mode in ("on", "true", "1"):
+        init_distributed(
+            addr, nproc if nproc > 0 else None, pid if pid >= 0 else None
+        )
+    elif addr or nproc > 0 or env_addr or env_nproc:
+        init_distributed(
+            addr, nproc if nproc > 0 else None, pid if pid >= 0 else None
+        )
+
+
+def is_primary() -> bool:
+    """True on the process that owns host-side side effects (checkpoint
+    files, trace copy-back). Always True single-process."""
+    return jax.process_index() == 0
 
 
 def build_hybrid_mesh(config: Config, devices=None):
-    """Mesh whose 'model' axis is contained within a slice/host (ICI) and
-    whose 'data' axis spans slices (DCN) — vocabulary-sharded gathers and
-    rank-count psums stay on ICI, gradient all-reduce crosses DCN."""
-    from jax.experimental import mesh_utils
+    """(data, model) mesh for multi-process runs: 'model' tiles are
+    contained within one process's devices (collectives ride ICI) and
+    'data' blocks span processes (gradient all-reduce crosses DCN).
+
+    Devices are ordered process-major, which realizes exactly the
+    (processes, local) hybrid layout of
+    ``mesh_utils.create_hybrid_device_mesh((data/P, model), (P, 1))``
+    while also working on backends without slice metadata (the CPU
+    cluster used for multi-host tests)."""
     from jax.sharding import Mesh
 
     data = config.get("tpu.mesh.data")
@@ -57,30 +112,61 @@ def build_hybrid_mesh(config: Config, devices=None):
     if devices is None:
         devices = jax.devices()
     n = len(devices)
+    n_proc = jax.process_count()
     if data == -1:
         data = max(1, n // max(model, 1))
     if data * model == 1:
         return None
-    if jax.process_count() > 1:
-        # keep model inside a process's devices; data across processes
-        per_process = n // jax.process_count()
+    per_process = n // max(n_proc, 1)
+    if n_proc > 1:
         if model > per_process:
             raise ValueError(
                 f"model axis {model} exceeds per-host device count "
                 f"{per_process}; model sharding must stay on ICI"
             )
-        if data % jax.process_count() != 0:
+        if per_process % model != 0:
             raise ValueError(
-                f"data axis {data} must divide across "
-                f"{jax.process_count()} processes"
+                f"model axis {model} must divide the per-host device "
+                f"count {per_process}"
             )
-        dev_array = mesh_utils.create_hybrid_device_mesh(
-            (data // jax.process_count(), model),
-            dcn_mesh_shape=(jax.process_count(), 1),
-            devices=devices,
-        )
-        return Mesh(
-            dev_array.reshape(data, model), axis_names=("data", "model")
-        )
-    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
+        if data * model != n:
+            raise ValueError(
+                f"multi-host meshes must use every device so all "
+                f"processes participate: {data}x{model} != {n} devices"
+            )
+    devs = sorted(devices, key=lambda d: (d.process_index, d.id))
+    dev_array = np.asarray(devs[: data * model]).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def put_global(arr: np.ndarray, sharding):
+    """Place a host array that every process holds in full onto a (possibly
+    cross-process) sharding. Single-process this is jax.device_put; under
+    multi-host each process materializes only its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def fetch_global(tree):
+    """jax.device_get that also works for arrays sharded across
+    processes: non-addressable shards are first replicated with an
+    identity jit (an all-gather over DCN), then pulled. Collective —
+    every process must call it at the same point."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def one(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            mesh = x.sharding.mesh
+            x = jax.jit(
+                lambda a: a, out_shardings=NamedSharding(mesh, P())
+            )(x)
+        return x
+
+    tree = jax.tree_util.tree_map(one, tree)
+    return jax.device_get(tree)

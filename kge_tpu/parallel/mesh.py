@@ -33,9 +33,11 @@ def resolve_device(config: Config) -> jax.Device:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     name = config.get("job.device")
     if name == "cpu":
-        return jax.devices("cpu")[0]
+        # local_devices: under multi-host, jax.devices() leads with
+        # process 0's devices, which other processes cannot place on
+        return jax.local_devices(backend="cpu")[0]
     if name in ("auto", ""):
-        return jax.devices()[0]
+        return jax.local_devices()[0]
     if ":" in name:
         platform, idx = name.split(":")
         return jax.devices(platform)[int(idx)]
@@ -43,7 +45,12 @@ def resolve_device(config: Config) -> jax.Device:
 
 
 def build_mesh(config: Config, devices=None) -> Optional[Mesh]:
-    """Build the (data, model) mesh, or None for single-device jobs."""
+    """Build the (data, model) mesh, or None for single-device jobs.
+    Multi-process runs delegate to the hybrid ICI/DCN construction."""
+    if jax.process_count() > 1:
+        from kge_tpu.parallel.distributed import build_hybrid_mesh
+
+        return build_hybrid_mesh(config, devices)
     data = config.get("tpu.mesh.data")
     model = config.get("tpu.mesh.model")
     if devices is None:

@@ -81,6 +81,10 @@ class TrainingJob(TrainingOrEvaluationJob):
     def __init__(self, config: Config, dataset: Dataset, parent_job: Job = None,
                  model: Optional[KgeModel] = None, forward_only: bool = False):
         super().__init__(config, dataset, parent_job)
+        # multi-host bootstrap must precede the first backend touch
+        from kge_tpu.parallel import distributed as dist
+
+        dist.maybe_init_from_config(config)
         self.device = resolve_device(config)
         jax.config.update(
             "jax_default_matmul_precision",
@@ -131,11 +135,15 @@ class TrainingJob(TrainingOrEvaluationJob):
                 )
                 self.batch_size = new_size
                 config.set("train.batch_size", new_size)
-            self.params = jax.device_put(
-                self.params, params_sharding(self.mesh, self.params)
+            self.params = jax.tree_util.tree_map(
+                lambda a, s: dist.put_global(np.asarray(a), s),
+                self.params, params_sharding(self.mesh, self.params),
             )
-            self.model_state = jax.device_put(
-                self.model_state, NamedSharding(self.mesh, P())
+            self.model_state = jax.tree_util.tree_map(
+                lambda a: dist.put_global(
+                    np.asarray(a), NamedSharding(self.mesh, P())
+                ),
+                self.model_state,
             )
             config.log(
                 f"Using mesh {dict(self.mesh.shape)} over "
@@ -147,8 +155,14 @@ class TrainingJob(TrainingOrEvaluationJob):
         self.optimizer = KgeOptimizer(
             config, self.params, sparse_paths=self._sparse_paths
         )
-        self.opt_state = self.optimizer.init(self.params) \
-            if not forward_only else None
+        if forward_only:
+            self.opt_state = None
+        elif jax.process_count() > 1:
+            # eager ops on cross-process shards are rejected; init under
+            # jit so the zeros inherit the params' sharding
+            self.opt_state = jax.jit(self.optimizer.init)(self.params)
+        else:
+            self.opt_state = self.optimizer.init(self.params)
         self.lr_scheduler = KgeLRScheduler(config)
         np_seed = rng_seed_from_config(config, "numpy")
         self._np_rng = np.random.default_rng(np_seed if np_seed >= 0 else None)
@@ -557,7 +571,9 @@ class TrainingJob(TrainingOrEvaluationJob):
 
         # single device sync for the whole epoch (one bulk transfer; a
         # per-scalar float() would pay a dispatch round trip per metric)
-        batch_metrics = jax.device_get(batch_metrics)
+        from kge_tpu.parallel.distributed import fetch_global
+
+        batch_metrics = fetch_global(batch_metrics)
         sums: Dict[str, float] = {}
         for k, metrics in batch_metrics:
             for key, v in metrics.items():
@@ -611,7 +627,16 @@ class TrainingJob(TrainingOrEvaluationJob):
     def _save(self, filename: str):
         if self.config.folder is None:
             return
+        from kge_tpu.parallel import distributed as dist
+
         self.config.log(f"Saving checkpoint to {filename}...")
+        # fetch_global is collective: every process gathers (aligned
+        # program order), only the primary touches the filesystem
+        params_np = dist.fetch_global(self.params)
+        state_np = dist.fetch_global(self.model_state)
+        opt_np = dist.fetch_global(self.opt_state)
+        if not dist.is_primary():
+            return
         checkpoint = {
             "type": "train",
             "epoch": self.epoch,
@@ -619,9 +644,9 @@ class TrainingJob(TrainingOrEvaluationJob):
             "lr_scheduler": self.lr_scheduler.state_dict(),
             "job_id": self.job_id,
             "rng": np.asarray(self.rng),
-            "opt_state": jax.tree_util.tree_map(np.asarray, self.opt_state),
+            "opt_state": jax.tree_util.tree_map(np.asarray, opt_np),
         }
-        self.model.save_to(checkpoint, self.params, self.model_state)
+        self.model.save_to(checkpoint, params_np, state_np)
         self.config.save_to(checkpoint)
         self.dataset.save_to(checkpoint)
         save_checkpoint(filename, checkpoint)
@@ -665,6 +690,8 @@ class TrainingJob(TrainingOrEvaluationJob):
             }
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from kge_tpu.parallel.distributed import put_global
+
         out = {}
         for k, v in batch_np.items():
             arr = np.asarray(v)
@@ -672,7 +699,7 @@ class TrainingJob(TrainingOrEvaluationJob):
                 spec = P("data", *([None] * (arr.ndim - 1)))
             else:
                 spec = P()
-            out[k] = jax.device_put(arr, NamedSharding(self.mesh, spec))
+            out[k] = put_global(arr, NamedSharding(self.mesh, spec))
         return out
 
     # ------------------------------------------------------------------ batching helpers

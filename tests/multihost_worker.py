@@ -1,0 +1,67 @@
+"""Worker process for the 2-process CPU-cluster multi-host test.
+
+Run as ``python -m tests.multihost_worker <pid> <nproc> <port> <outdir>``.
+Each worker carries 2 virtual CPU devices; jax.distributed is initialized
+by the FRAMEWORK (TrainingJob -> maybe_init_from_config) from the
+``tpu.multihost`` config keys — that wiring is exactly what the test
+exercises. The worker trains a tiny model on a hybrid (data=2, model=2)
+mesh (data spans processes) and dumps its per-epoch avg_loss so the test
+can assert parity with a single-process mesh run.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid, nproc, port, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+    from tests.util import create_config, get_dataset_folder
+
+    config = create_config("dataset_test", model="complex")
+    config.set("train.type", "negative_sampling")
+    config.set("random_seed.default", 41)
+    config.set("random_seed.numpy", 41)
+    config.set("random_seed.jax", 41)
+    config.set("lookup_embedder.dim", 16)
+    config.set("train.batch_size", 16)
+    config.set("train.max_epochs", 2)
+    config.set("valid.every", 0)
+    config.set("train.optimizer.default.args.lr", 0.1, create=True)
+    config.set("tpu.mesh.data", 2)
+    config.set("tpu.mesh.model", 2)
+    config.set("tpu.steps_per_dispatch", 1)
+    config.set("tpu.multihost.enabled", "on")
+    config.set("tpu.multihost.coordinator_address", f"localhost:{port}")
+    config.set("tpu.multihost.num_processes", nproc)
+    config.set("tpu.multihost.process_id", pid)
+    config.folder = os.path.join(outdir, f"folder_{pid}")
+    os.makedirs(config.folder, exist_ok=True)
+
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    job = TrainingJob.create(config, dataset)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert job.mesh is not None and dict(job.mesh.shape) == {
+        "data": 2, "model": 2
+    }
+    losses = []
+    job.post_epoch_hooks.append(
+        lambda j: losses.append(float(j.current_trace["epoch"]["avg_loss"]))
+    )
+    job.run()
+    with open(os.path.join(outdir, f"loss_{pid}.json"), "w") as f:
+        json.dump({"losses": losses, "process_count": jax.process_count()}, f)
+
+
+if __name__ == "__main__":
+    main()
