@@ -103,10 +103,12 @@ class Dataset(Configurable):
             "num_entities": self.num_entities(),
             "num_relations": self.num_relations(),
             "folder": self.folder,
+            # stored meta keys carry form suffixes ("entity_ids::list");
+            # embed every stored form of each requested base key
             "meta": {
-                k: self._meta[k]
-                for k in (meta_keys or [])
-                if k in self._meta
+                k: v
+                for k, v in self._meta.items()
+                if k.split("::")[0] in (meta_keys or [])
             },
         }
         return checkpoint
@@ -303,9 +305,38 @@ class Dataset(Configurable):
     def meta(self, key: str):
         return self._meta[key]
 
+    _STRING_FALLBACKS = {
+        "entity_strings": "entity_ids",
+        "relation_strings": "relation_ids",
+    }
+
     def map_indexes(self, indexes, key: str):
-        """Map (an array of) internal indexes to their string values."""
+        """Map (an array of) internal indexes to their string values.
+
+        Human-readable strings fall back to the id maps when no strings
+        file is available — notably for standalone packaged models, which
+        embed only entity_ids/relation_ids (reference packages behave the
+        same on disk but crash on entity_strings; here the lookup stays
+        usable)."""
         the_map = self._meta.get(key)
+        if the_map is None and key in self._STRING_FALLBACKS:
+            fallback = self._STRING_FALLBACKS[key]
+            try:
+                self.config.get(f"dataset.files.{key}.filename")
+                has_file = self.folder is not None and os.path.isfile(
+                    os.path.join(
+                        self.folder,
+                        self.config.get(f"dataset.files.{key}.filename"),
+                    )
+                )
+            except KeyError:
+                has_file = False
+            if not has_file and (
+                fallback in self._meta
+                or f"{fallback}::list" in self._meta
+                or self.folder is None
+            ):
+                the_map = self.map_indexes(None, fallback)
         if the_map is None:
             the_map = self.load_map(key, as_list=True)
         if indexes is None:

@@ -11,6 +11,9 @@ from kge_tpu.utils.io import load_checkpoint, save_checkpoint
 
 
 def package_model(checkpoint_file: str, output_file: Optional[str] = None) -> str:
+    from kge_tpu.config import Config
+    from kge_tpu.dataset import Dataset
+
     checkpoint = load_checkpoint(checkpoint_file)
     if checkpoint["type"] != "train":
         raise ValueError("can only package train checkpoints")
@@ -18,12 +21,18 @@ def package_model(checkpoint_file: str, output_file: Optional[str] = None) -> st
         "type": "package",
         "model": checkpoint["model"],
         "config": checkpoint["config"],
-        "dataset": checkpoint.get("dataset"),
         "epoch": checkpoint.get("epoch"),
         "job_id": checkpoint.get("job_id"),
         "valid_trace": checkpoint.get("valid_trace"),
     }
-    # keep entity/relation id maps for standalone use
+    # embed the entity/relation id maps so the package is standalone —
+    # KgeModel.create_from and entity_strings() work with the dataset
+    # folder gone (reference: kge/util/package.py:38)
+    config = Config.create_from(checkpoint)
+    dataset = Dataset.create_from(checkpoint, config, preload_data=False)
+    dataset.entity_ids()
+    dataset.relation_ids()
+    dataset.save_to(packaged, ["entity_ids", "relation_ids"])
     if output_file is None:
         folder = os.path.dirname(checkpoint_file)
         output_file = os.path.join(folder, "model.pt")

@@ -58,6 +58,47 @@ def test_resume_reproduces_state(tmp_path):
     )
 
 
+def test_package_is_standalone(tmp_path):
+    """A packaged model embeds entity/relation id maps and loads with
+    the dataset folder DELETED (reference: kge/util/package.py:38)."""
+    import shutil
+
+    import jax.numpy as jnp
+
+    from kge_tpu.models import KgeModel
+    from kge_tpu.utils.package import package_model
+
+    ds_copy = str(tmp_path / "ds")
+    shutil.copytree(get_dataset_folder("dataset_test"), ds_copy)
+    config = create_config("dataset_test", model="complex")
+    config.set("train.type", "1vsAll")
+    config.set("train.batch_size", 4)
+    config.set("train.max_epochs", 1)
+    config.set("valid.every", 0)
+    config.set("lookup_embedder.dim", 8)
+    config.set("random_seed.default", 5)
+    config.folder = str(tmp_path / "run")
+    os.makedirs(config.folder)
+    config.init_folder()
+    dataset = Dataset.create(config, ds_copy)
+    expected_ids = list(dataset.entity_ids())
+    job = TrainingJob.create(config, dataset)
+    job.run()
+    packaged = package_model(
+        config.checkpoint_file(1), os.path.join(config.folder, "model.pt")
+    )
+    shutil.rmtree(ds_copy)
+
+    checkpoint = load_checkpoint(packaged)
+    model, params, state = KgeModel.create_from(checkpoint)
+    assert model.dataset.num_entities() == len(expected_ids)
+    assert list(model.dataset.entity_ids()) == expected_ids
+    assert model.dataset.entity_strings([0, 1]) is not None
+    assert model.dataset.relation_strings([0]) is not None
+    scores = model.score_sp(params, jnp.asarray([0]), jnp.asarray([0]))
+    assert np.asarray(scores).shape == (1, model.dataset.num_entities())
+
+
 def test_pretrained_initialization(tmp_path):
     # train + package a model, then initialize a new one from it
     job, config, dataset = _job(tmp_path, name="base")
