@@ -274,16 +274,36 @@ class EntityRankingJob(EvaluationJob):
         interpret = jax.default_backend() == "cpu"
         num_chunks = math.ceil(num_entities / chunk_size)
 
+        monotone = (
+            getattr(model, "dot_score_space", lambda: "native")()
+            == "monotone"
+        )
+
         def fn(params, model_state, s, p, o, coords_sp, coords_po,
                o_true, s_true):
             with jax.default_matmul_precision("highest"):
                 ctx = Ctx(train=False, state=model_state)
+                q_sp, q_po = model.dot_queries(params, s, p, o, ctx=ctx)
+                if monotone:
+                    # the dot form is a monotone transform of the native
+                    # score (e.g. L2 distance expansion): true scores must
+                    # come from the SAME dot path so candidate/true live in
+                    # one score space and tie tolerances apply consistently
+                    # (same floating-point-consistency trick the reference
+                    # uses, eval_entity_ranking.py:186-203)
+                    cand_o_sp, _ = model.dot_candidates(
+                        params, o, ctx=ctx, sides=("sp",)
+                    )
+                    _, cand_s_po = model.dot_candidates(
+                        params, s, ctx=ctx, sides=("po",)
+                    )
+                    o_true = jnp.einsum("bd,bd->b", q_sp, cand_o_sp)
+                    s_true = jnp.einsum("bd,bd->b", q_po, cand_s_po)
                 # NaN -> -inf before counting (the rank kernel's contract;
                 # the generic path sanitizes the same way) so a NaN-scoring
                 # model ranks last instead of first
                 o_true = jnp.where(jnp.isnan(o_true), NEG_INF, o_true)
                 s_true = jnp.where(jnp.isnan(s_true), NEG_INF, s_true)
-                q_sp, q_po = model.dot_queries(params, s, p, o, ctx=ctx)
                 B = q_sp.shape[0]
 
                 def raw_counts(chunk_idx, acc):

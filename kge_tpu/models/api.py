@@ -116,6 +116,14 @@ class RelationalScorer(KgeBase):
 
     supports_dot_form = False
 
+    # "native": q . c equals score_emb exactly (bilinear scorers).
+    # "monotone": q . c is a strictly increasing transform of the score
+    # (L2 distance scorers via the expansion ||q-c||^2 = ||q||^2 +
+    # ||c||^2 - 2 q.c); ranks are preserved, but the fused evaluator
+    # must compute true scores through the same dot path so the tie
+    # tolerances apply in one consistent score space.
+    dot_score_space = "native"
+
     def query_vec(self, params, a_emb, p_emb, combine: str,
                   ctx: Ctx) -> jnp.ndarray:
         """Query-side vectors: a_emb is s for 'sp_' and o for '_po'."""
@@ -463,6 +471,10 @@ class KgeModel(KgeBase):
 
     def supports_dot_ranking(self) -> bool:
         return self._scorer.supports_dot_form
+
+    def dot_score_space(self) -> str:
+        """"native" or "monotone" — see RelationalScorer.dot_score_space."""
+        return self._scorer.dot_score_space
 
     def dot_queries(self, params, s, p, o, ctx: Ctx):
         """(q_sp [B, D1], q_po [B, D2]) such that ranking scores factor

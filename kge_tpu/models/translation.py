@@ -1,9 +1,15 @@
 """Distance-based scorers: TransE, RotatE, TransH.
 
 Reference math: kge/model/{transe,rotate,transh}.py. The pairwise
-combines materialize [n, m, d] difference tensors exactly like the
-reference; evaluation chunking bounds m, and the fused Pallas distance
-kernel (ops/pallas) replaces the broadcast on the hot path."""
+combines materialize [n, m, d] difference tensors; evaluation chunking
+bounds m. For L2 (TransE l_norm=2, RotatE) the scorers additionally
+expose a *monotone dot form* — ||q-c||^2 = ||q||^2 + ||c||^2 - 2 q.c,
+so ranking reduces to q~ . c~ with q~ = [2q, -1], c~ = [c, ||c||^2] —
+which routes evaluation through the fused Pallas rank-count kernel with
+no [B, C, d] materialization (see RelationalScorer.dot_score_space for
+the tie-tolerance caveat). TransH's candidate projection depends on the
+query row's relation, so it has no shared candidate matrix and keeps
+the broadcast path; so does L1."""
 
 from __future__ import annotations
 
@@ -30,12 +36,38 @@ def _lp_norm_nonneg(x: jnp.ndarray, p: float, axis: int) -> jnp.ndarray:
     return _lp_norm(x, p, axis)
 
 
+def _l2_dot_query(q: jnp.ndarray) -> jnp.ndarray:
+    """[2q, -1]: paired with _l2_dot_candidate this yields
+    q~ . c~ = 2 q.c - ||c||^2 = ||q||^2 - ||q-c||^2, a per-row monotone
+    transform of the negative L2 distance score."""
+    return jnp.concatenate([2.0 * q, -jnp.ones_like(q[..., :1])], axis=-1)
+
+
+def _l2_dot_candidate(c: jnp.ndarray) -> jnp.ndarray:
+    """[c, ||c||^2]: the candidate side of the L2 expansion."""
+    sq = jnp.sum(c * c, axis=-1, keepdims=True)
+    return jnp.concatenate([c, sq], axis=-1)
+
+
 class TransEScorer(RelationalScorer):
     """score = -||s + p - o||_p."""
+
+    dot_score_space = "monotone"
 
     def __init__(self, config, dataset, configuration_key=None):
         super().__init__(config, dataset, configuration_key)
         self._norm = float(self.get_option("l_norm"))
+
+    @property
+    def supports_dot_form(self) -> bool:
+        return self._norm == 2.0
+
+    def query_vec(self, params, a_emb, p_emb, combine, ctx):
+        q = a_emb + p_emb if combine == "sp_" else a_emb - p_emb
+        return _l2_dot_query(q)
+
+    def candidate_vec(self, params, cand_emb, combine, ctx):
+        return _l2_dot_candidate(cand_emb)
 
     def score_emb(self, params, s_emb, p_emb, o_emb, combine, ctx: Ctx):
         n = p_emb.shape[0]
@@ -74,9 +106,32 @@ class RotatEScorer(RelationalScorer):
     """Relations are per-dimension rotations on the complex plane:
     score = -||s*p - o||, with the conjugate trick for _po."""
 
+    dot_score_space = "monotone"
+
     def __init__(self, config, dataset, configuration_key=None):
         super().__init__(config, dataset, configuration_key)
         self._norm = float(self.get_option("l_norm"))
+
+    @property
+    def supports_dot_form(self) -> bool:
+        # the per-dim complex modulus collapses into one euclidean norm
+        # over the stored [re || im] layout only for l_norm = 2
+        return self._norm == 2.0
+
+    def query_vec(self, params, a_emb, p_emb, combine, ctx):
+        half = a_emb.shape[-1] // 2
+        a_re, a_im = a_emb[..., :half], a_emb[..., half:]
+        p_re, p_im = jnp.cos(p_emb), jnp.sin(p_emb)
+        if combine == "sp_":
+            q_re = a_re * p_re - a_im * p_im
+            q_im = a_re * p_im + a_im * p_re
+        else:  # "_po": || s*p - o || = || s - conj(p)*o ||
+            q_re = p_re * a_re + p_im * a_im
+            q_im = p_re * a_im - p_im * a_re
+        return _l2_dot_query(jnp.concatenate([q_re, q_im], axis=-1))
+
+    def candidate_vec(self, params, cand_emb, combine, ctx):
+        return _l2_dot_candidate(cand_emb)
 
     def score_emb(self, params, s_emb, p_emb, o_emb, combine, ctx: Ctx):
         n = p_emb.shape[0]

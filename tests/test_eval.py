@@ -127,13 +127,22 @@ def test_drilldown_metrics():
 
 
 @pytest.mark.parametrize("model_name", ["complex", "distmult", "rescal",
-                                        "simple", "cp"])
+                                        "simple", "cp", "transe", "rotate"])
 def test_fused_matches_generic(model_name):
     """The fused Pallas rank-count path must reproduce the generic
-    chunked-masking path exactly."""
+    chunked-masking path exactly — including the monotone L2-expansion
+    dot form of the distance scorers (transe l_norm=2, rotate)."""
     traces = {}
     for impl in ("generic", "fused"):
         config, dataset, model, params, job = _setup(model_name=model_name)
+        if model_name == "rotate":
+            # rotate defaults to l_norm 1.0, which has no dot form
+            config.set("rotate.l_norm", 2.0)
+            from kge_tpu import Dataset as _DS
+            dataset = _DS.create(config, get_dataset_folder("dataset_test"))
+            model = KgeModel.create(config, dataset)
+        if impl == "fused":
+            assert model.supports_dot_ranking(), model_name
         config.set("entity_ranking.implementation", impl)
         config.set("entity_ranking.chunk_size", 3)
         job2 = EvaluationJob.create(config, dataset, model=model)
