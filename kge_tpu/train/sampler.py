@@ -136,36 +136,53 @@ class KgeSampler(Configurable):
 
     def _filter_and_resample(self, negatives: np.ndarray, slot: int,
                              positive_triples: np.ndarray) -> np.ndarray:
-        """Resample entries that are known positives (vectorized rows)."""
+        """Resample entries that are known positives.
+
+        Fully vectorized over the batch (the analogue of the reference's
+        numba bulk path, kge/util/sampler.py:700-752): per-row positive
+        sets come from one CSR lookup, membership tests run on
+        (row, value)-encoded keys against one sorted array, and each
+        resample round redraws ALL still-bad positions in a single
+        sampler call."""
         pair_str = ["po", "so", "sp"][slot]
         index = self.dataset.index(
             f"{self.filtering_split}_{pair_str}_to_{SLOT_STR[slot]}"
         )
         cols = [[P, O], [S, O], [S, P]][slot]
         pairs = positive_triples[:, cols]
-        for i in range(len(positive_triples)):
-            positives = np.asarray(index.get((int(pairs[i, 0]), int(pairs[i, 1]))))
-            if len(positives) == 0:
-                continue
-            bad = np.flatnonzero(np.isin(negatives[i], positives))
-            guard = 0
-            while len(bad) and guard < 1000:
-                fresh = self._sample(
-                    positive_triples[i : i + 1], slot, len(bad)
-                ).reshape(-1)
-                ok = ~np.isin(fresh, positives)
-                negatives[i, bad[ok]] = fresh[ok]
-                bad = bad[~ok]
-                guard += 1
-            if len(bad):
-                # the (pair, slot) has almost no non-positive candidates;
-                # the reference's fast path would spin forever here --
-                # degrade with a visible warning instead
-                self.config.log(
-                    f"WARNING: filtering could not replace {len(bad)} "
-                    f"positive(s) in the negative sample for row {i} "
-                    f"(slot {SLOT_STR[slot]}) after 1000 rounds"
-                )
+        pos_rows, pos_vals = index.get_all_coords(pairs)
+        if len(pos_rows) == 0:
+            return negatives
+        voc = int(self.vocabulary_size[slot])
+        pos_keys = np.sort(pos_rows.astype(np.int64) * voc + pos_vals)
+
+        def is_positive(rows, vals):
+            keys = rows.astype(np.int64) * voc + vals
+            i = np.minimum(np.searchsorted(pos_keys, keys),
+                           len(pos_keys) - 1)
+            return pos_keys[i] == keys
+
+        B, K = negatives.shape
+        row_of = np.broadcast_to(np.arange(B)[:, None], (B, K))
+        bad_i, bad_j = np.nonzero(is_positive(row_of, negatives))
+        guard = 0
+        while len(bad_i) and guard < 1000:
+            fresh = self._sample(
+                positive_triples[bad_i], slot, 1
+            ).reshape(-1)
+            ok = ~is_positive(bad_i, fresh)
+            negatives[bad_i[ok], bad_j[ok]] = fresh[ok]
+            bad_i, bad_j = bad_i[~ok], bad_j[~ok]
+            guard += 1
+        if len(bad_i):
+            # the (pair, slot) has almost no non-positive candidates; the
+            # reference's fast path would spin forever here -- degrade
+            # with a visible warning instead
+            self.config.log(
+                f"WARNING: filtering could not replace {len(bad_i)} "
+                f"positive(s) in the negative sample "
+                f"(slot {SLOT_STR[slot]}) after 1000 rounds"
+            )
         return negatives
 
 
