@@ -83,11 +83,20 @@ def main():
 
     sec_per_step, _ = measure_steps(job, steps=64, distinct_batches=8)
     triples_per_s = job.batch_size / sec_per_step
+    from roofline import negsamp_step_bytes, negsamp_step_flops, roofline
+
+    rl = roofline(
+        negsamp_step_bytes(dataset.num_entities(), dataset.num_relations(),
+                           128, job.batch_size, 128),
+        negsamp_step_flops(128, job.batch_size, 128),
+        sec_per_step,
+    )
     print(json.dumps({
         "metric": "train_triples_per_s_complex_negsamp_fb15k237_scale",
         "value": round(triples_per_s, 1),
         "unit": "triples/s/chip",
         "vs_baseline": round(triples_per_s / REFERENCE_TRIPLES_PER_S, 3),
+        **rl,
     }))
 
 

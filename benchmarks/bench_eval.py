@@ -58,6 +58,16 @@ def main():
         qps, mrr = run(impl)
         out[impl] = round(qps, 1)
         out[f"{impl}_mrr"] = round(mrr, 6)
+    from roofline import eval_batch_bytes, eval_flops, roofline
+
+    # per-query traffic: candidate table streams once per side per
+    # 512-query batch
+    sec_per_query = 1.0 / max(out["fused"], 1e-9)
+    rl = roofline(
+        eval_batch_bytes(14541, 128) / 512.0,
+        eval_flops(14541, 128, 512) / 512.0,
+        sec_per_query,
+    )
     print(json.dumps({
         "metric": "eval_queries_per_s_complex_fb15k237_scale",
         "value": out["fused"],
@@ -66,6 +76,7 @@ def main():
         "generic": out["generic"],
         "generic_mrr": out["generic_mrr"],
         "fused_mrr": out["fused_mrr"],
+        **rl,
     }))
 
 

@@ -54,6 +54,12 @@ def main(dim=200, num_entities=14541, num_relations=237, num_triples=272115):
     # the encoder touches every edge (x2 for inverses) per layer per step
     num_layers = config.get("compgcn.encoder.num_layers")
     edges_per_step = num_triples * 2 * num_layers
+    from roofline import gnn_step_bytes, roofline
+
+    rl = roofline(
+        gnn_step_bytes(num_triples * 2, dim, num_layers), 0.0, sec_per_step
+    )
+    rl.pop("GFLOPs_per_s")  # bandwidth-bound; FLOP side not modeled
     print(json.dumps({
         "metric": "gnn_edges_per_s_compgcn_fb15k237_scale",
         "value": round(edges_per_step / sec_per_step, 1),
@@ -61,6 +67,7 @@ def main(dim=200, num_entities=14541, num_relations=237, num_triples=272115):
         "vs_baseline": 1.0,
         "step_ms": round(sec_per_step * 1e3, 2),
         "triples_per_s": round(job.batch_size / sec_per_step, 1),
+        **rl,
     }))
 
 
