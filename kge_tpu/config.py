@@ -26,7 +26,7 @@ import os
 import time
 import uuid
 from enum import Enum
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import yaml
 
@@ -266,18 +266,96 @@ class Config:
         if new_options is not None:
             self.load_options(new_options, create=create, overwrite=overwrite)
 
-    #: renamed option keys: old name -> new name (the reference carries a
-    #: large migration table, kge/config.py:661-869; entries accrete here
-    #: as options get renamed)
-    DEPRECATED_KEYS: Dict[str, str] = {}
+    #: Migration tables for old LibKGE configs (reference:
+    #: kge/config.py:661-869). Exact-key renames, whole-prefix renames,
+    #: and per-key value renames; applied to every loaded options dict so
+    #: historical configs keep working against the current schema.
+    DEPRECATED_KEYS: Dict[str, str] = {
+        "entity_ranking.tie_handling": "entity_ranking.tie_handling.type",
+        "eval.tie_handling": "entity_ranking.tie_handling.type",
+        "train.optimizer": "train.optimizer.default.type",
+        "eval.filter_splits": "entity_ranking.filter_splits",
+        "eval.filter_with_test": "entity_ranking.filter_with_test",
+        "valid.filter_with_test": "entity_ranking.filter_with_test",
+        "eval.hits_at_k_s": "entity_ranking.hits_at_k_s",
+        "eval.chunk_size": "entity_ranking.chunk_size",
+        "eval.data": "eval.split",
+        "eval.metrics_per_relation_type":
+            "entity_ranking.metrics_per.relation_type",
+        "eval.metrics_per_head_and_tail":
+            "entity_ranking.metrics_per.head_and_tail",
+        "eval.metric_per_argument_frequency_perc":
+            "entity_ranking.metrics_per.argument_frequency",
+        "negative_sampling.chunk_size": "train.subbatch_size",
+        "negative_sampling.score_func_type":
+            "negative_sampling.implementation",
+        "checkpoint.every": "train.checkpoint.every",
+        "checkpoint.keep": "train.checkpoint.keep",
+        **{
+            f"negative_sampling.num_samples_{s}":
+                f"negative_sampling.num_samples.{s}"
+            for s in "spo"
+        },
+        **{
+            f"negative_sampling.num_negatives_{s}":
+                f"negative_sampling.num_samples.{s}"
+            for s in "spo"
+        },
+        **{
+            f"negative_sampling.filter_positives_{s}":
+                f"negative_sampling.filtering.{s}"
+            for s in "spo"
+        },
+        **{
+            f"negative_sampling.filter_true_{s}":
+                f"negative_sampling.filtering.{s}"
+            for s in "spo"
+        },
+    }
+
+    #: old prefix -> new prefix (applied after exact-key renames)
+    DEPRECATED_PREFIXES: List[Tuple[str, str]] = [
+        ("train.optimizer_args.", "train.optimizer.default.args."),
+        ("eval.metrics_per.", "entity_ranking.metrics_per."),
+        ("valid.early_stopping.min_threshold.",
+         "valid.early_stopping.threshold."),
+        ("1toN.", "KvsAll."),
+        ("inverse_relations_model.", "reciprocal_relations_model."),
+    ]
+
+    #: (key, old value) -> new value
+    DEPRECATED_VALUES: Dict[Tuple[str, Any], Any] = {
+        ("search.type", "ax"): "ax_search",
+        ("search.type", "manual"): "manual_search",
+        ("search.type", "grid"): "grid_search",
+        ("negative_sampling.implementation", "spo"): "triple",
+        ("negative_sampling.implementation", "sp_po"): "batch",
+        ("train.type", "1toN"): "KvsAll",
+        ("train.type", "spo"): "1vsAll",
+        ("train.loss", "ce"): "kl",
+        ("train.lr_scheduler", "ConstantLRScheduler"): "",
+        ("model", "inverse_relations_model"): "reciprocal_relations_model",
+    }
 
     def _rewrite_deprecated(self, options: Dict[str, Any]) -> Dict[str, Any]:
         flat = Config.flatten(options)
         rewritten: Dict[str, Any] = {}
         for key, value in flat.items():
             new_key = Config.DEPRECATED_KEYS.get(key, key)
+            for old_prefix, new_prefix in Config.DEPRECATED_PREFIXES:
+                if new_key.startswith(old_prefix):
+                    new_key = new_prefix + new_key[len(old_prefix):]
+            try:
+                value = Config.DEPRECATED_VALUES.get((new_key, value), value)
+            except TypeError:
+                pass  # unhashable value (list/dict leaf)
             if new_key != key:
                 self.log(f"Renamed deprecated key {key} -> {new_key}")
+            if new_key in rewritten and rewritten[new_key] != value:
+                raise ValueError(
+                    f"deprecated key {key} and its replacement {new_key} "
+                    "are both set with different values"
+                )
             rewritten[new_key] = value
         return rewritten
 

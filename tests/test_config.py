@@ -53,3 +53,42 @@ def test_clone_is_independent():
     clone = config.clone()
     clone.set("train.max_epochs", 7)
     assert config.get("train.max_epochs") != 7
+
+
+def test_deprecated_libkge_keys_rewrite():
+    """Old-style LibKGE configs load with keys/values migrated (the
+    reference's table, kge/config.py:661-869)."""
+    from kge_tpu import Config
+
+    config = Config()
+    config.load_options({
+        "eval": {"filter_with_test": True, "chunk_size": 512,
+                 "metrics_per": {"relation_type": True}},
+        "negative_sampling": {"num_samples_o": 7,
+                              "filter_positives_o": True,
+                              "implementation": "sp_po"},
+        "train": {"type": "1toN",
+                  "optimizer": "Adagrad",
+                  "optimizer_args": {"lr": 0.3}},
+    })
+    assert config.get("entity_ranking.filter_with_test") is True
+    assert config.get("entity_ranking.chunk_size") == 512
+    assert config.get("entity_ranking.metrics_per.relation_type") is True
+    assert config.get("negative_sampling.num_samples.o") == 7
+    assert config.get("negative_sampling.filtering.o") is True
+    assert config.get("negative_sampling.implementation") == "batch"
+    assert config.get("train.type") == "KvsAll"
+    assert config.get("train.optimizer.default.type") == "Adagrad"
+    assert config.get("train.optimizer.default.args.lr") == 0.3
+
+
+def test_deprecated_conflicting_keys_raise():
+    from kge_tpu import Config
+    import pytest as _pytest
+
+    config = Config()
+    with _pytest.raises(ValueError):
+        config.load_options({
+            "eval": {"chunk_size": 512},
+            "entity_ranking": {"chunk_size": 1024},
+        })
