@@ -45,19 +45,105 @@ _ACTIVATIONS = {
 from kge_tpu.utils.misc import pow2_bucket as _bucket_pow2
 
 
+def _row_blocks(agg_nodes: np.ndarray, nbr_nodes: np.ndarray,
+                types: np.ndarray, positions: np.ndarray, num_nodes: int,
+                K: int) -> Dict[str, np.ndarray]:
+    """Padded-CSR row blocks: each aggregation node's incident edges
+    chunked into [num_rows, K] (hub nodes span multiple rows, bounding
+    padding at ~K/2 per node). Aggregation then runs as K accumulated
+    gathers with NO [E, d] message materialization and a tiny sorted
+    second-level segment_sum rows -> nodes — measured 2.5x faster
+    fwd+bwd than gather->segment_sum at FB15k-237 scale
+    (benchmarks/micro_aggregate.py)."""
+    order = np.argsort(agg_nodes, kind="stable")
+    nodes_s = agg_nodes[order]
+    counts = np.bincount(nodes_s, minlength=num_nodes)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    chunks = (counts + K - 1) // K
+    total = int(chunks.sum())
+    rows_node = np.repeat(np.arange(num_nodes, dtype=np.int64), chunks)
+    cum_chunks = np.concatenate([[0], np.cumsum(chunks)])
+    ordinal = np.arange(total, dtype=np.int64) - cum_chunks[rows_node]
+    start = offsets[rows_node] + ordinal * K
+    gpos = start[:, None] + np.arange(K, dtype=np.int64)[None, :]
+    end = (offsets[rows_node] + counts[rows_node])[:, None]
+    valid = gpos < end
+    if len(order) == 0:
+        orig = np.zeros((total, K), dtype=np.int64)
+    else:
+        orig = order[np.minimum(gpos, len(order) - 1)]
+    return {
+        "nbr": np.where(valid, nbr_nodes[orig], 0).astype(np.int32),
+        "type": np.where(valid, types[orig], 0).astype(np.int32),
+        "pos": np.where(valid, positions[orig], -1).astype(np.int32),
+        "node": rows_node.astype(np.int32),
+    }
+
+
 def build_graph_buffers(triples: np.ndarray, num_relations: int,
-                        per_relation: bool) -> Dict[str, np.ndarray]:
+                        per_relation: bool,
+                        row_block_modes: Tuple[str, ...] = (),
+                        block_size: int = 16,
+                        num_entities: Optional[int] = None
+                        ) -> Dict[str, np.ndarray]:
     """Edge buffers (+ inverse edges with offset relation ids) and, for
     per-relation layers, padded relation buckets for lax.scan."""
     fwd = triples[:, [0, 2]].T.astype(np.int32)
-    edge_index = np.concatenate([fwd, fwd[::-1]], axis=1)
+    # Sort each half by its aggregation node (edge_index[0]): the hot
+    # segment_sum reductions then run with indices_are_sorted=True, and
+    # the scatter-add becomes a sequential-access accumulation instead of
+    # a general conflict-handling scatter. Halves sort independently so
+    # the in/out slices stay contiguous; edge_orig keeps the
+    # direct/inverse correlation for edge dropout.
+    order_fwd = np.argsort(fwd[0], kind="stable")
+    order_inv = np.argsort(fwd[1], kind="stable")
+    edge_index = np.concatenate(
+        [fwd[:, order_fwd], fwd[::-1][:, order_inv]], axis=1
+    )
     edge_type = np.concatenate(
-        [triples[:, 1], triples[:, 1] + num_relations]
+        [triples[order_fwd, 1], triples[order_inv, 1] + num_relations]
     ).astype(np.int32)
     graph: Dict[str, np.ndarray] = {
         "edge_index": np.ascontiguousarray(edge_index),
         "edge_type": edge_type,
+        "edge_orig": np.concatenate([order_fwd, order_inv]).astype(np.int32),
+        "halves_sorted": np.zeros(0, np.int32),  # marker: presence == sorted
     }
+    E = edge_index.shape[1]
+    N = num_entities if num_entities is not None else (
+        int(edge_index.max()) + 1 if E else 1
+    )
+    loop_rel = 2 * num_relations
+    for mode in row_block_modes:
+        if mode == "in":
+            sel = slice(0, E // 2)
+            args = (edge_index[0, sel], edge_index[1, sel], edge_type[sel],
+                    np.arange(0, E // 2, dtype=np.int64))
+        elif mode == "out":
+            # positions are MODE-LOCAL: they index the mode's own
+            # mask/norm vectors, which the layer slices per half
+            sel = slice(E // 2, E)
+            args = (edge_index[0, sel], edge_index[1, sel], edge_type[sel],
+                    np.arange(E // 2, dtype=np.int64))
+        elif mode == "single":
+            args = (edge_index[0], edge_index[1], edge_type,
+                    np.arange(E, dtype=np.int64))
+        elif mode == "single_with_loops":
+            # loops ride along: positions E..E+N-1 index the concat mask
+            loop = np.arange(N, dtype=np.int32)
+            args = (
+                np.concatenate([edge_index[0], loop]),
+                np.concatenate([edge_index[1], loop]),
+                np.concatenate(
+                    [edge_type, np.full(N, loop_rel, np.int32)]
+                ),
+                np.arange(E + N, dtype=np.int64),
+            )
+        else:
+            raise ValueError(f"unknown row-block mode {mode}")
+        rb = _row_blocks(*args, num_nodes=N, K=block_size)
+        for k, v in rb.items():
+            graph[f"rb_{mode}_{k}"] = v
     if per_relation:
         rels, counts = np.unique(edge_type, return_counts=True)
         # chunk each relation's edges to a fixed width: skewed relation
@@ -108,6 +194,12 @@ class Rgnn(KgeBase):
             raise ValueError(f"invalid activation {act_key}")
         self.activation = _ACTIVATIONS[act_key]
         self.emb_entity_dropout = self.get_option("emb_entity_dropout")
+        try:
+            self.neighbor_block_size = int(
+                self.get_option("neighbor_block_size")
+            )
+        except KeyError:
+            self.neighbor_block_size = 16
         self.layer_type = self.check_option(
             "layer_type", ["message_passing", "torch_rgcn", "weighted_gcn"]
         )
@@ -171,6 +263,26 @@ class Rgnn(KgeBase):
             for l in self.layers
         )
 
+    @property
+    def row_block_modes(self) -> Tuple[str, ...]:
+        """Edge-set names needing padded-CSR row blocks (the
+        materialization-free aggregation path of MessagePassingLayer);
+        attention and per_relation layers keep the message path."""
+        if self.neighbor_block_size <= 0:
+            return ()
+        modes = set()
+        for l in self.layers:
+            if not isinstance(l, MessagePassingLayer) or l.attention \
+                    or l.propagation.startswith("per_relation"):
+                continue
+            if l.propagation == "direction":
+                modes.update(("in", "out"))
+            elif l.propagation == "single":
+                modes.add("single_with_loops")
+            elif l.propagation == "single_with_self_edge_weight":
+                modes.add("single")
+        return tuple(sorted(modes))
+
     def init_params(self, rng) -> Dict[str, Any]:
         keys = jax.random.split(rng, len(self.layers))
         return {"layers": [l.init_params(k) for l, k in zip(self.layers, keys)]}
@@ -216,6 +328,9 @@ class RgnnEncoder(KgeBase):
         self._graph_np = build_graph_buffers(
             np.asarray(triples), self.dataset.num_relations(),
             self.rgnn.needs_rel_buckets,
+            row_block_modes=self.rgnn.row_block_modes,
+            block_size=self.rgnn.neighbor_block_size,
+            num_entities=self.dataset.num_entities(),
         )
 
     def graph(self) -> Dict[str, jnp.ndarray]:

