@@ -576,12 +576,29 @@ def hist_all(hists, s, p, o, s_ranks, o_ranks, job, **kwargs):
         hists["head"] += np.bincount(s_ranks, minlength=E)
 
 
+def _rel_type_lookup(job):
+    """Cached relation-id -> type-name membership masks: one id-indexed
+    boolean array per type (a relation can carry only one type, but the
+    array form keeps per-batch work at one gather instead of per-element
+    set membership — minutes at Wikidata scale otherwise)."""
+    cached = getattr(job, "_rel_type_masks", None)
+    if cached is None:
+        R = job.dataset.num_relations()
+        cached = {}
+        for rel_type, rels in job.dataset.index("relations_per_type").items():
+            mask = np.zeros(R, dtype=bool)
+            mask[np.fromiter(rels, dtype=np.int64, count=len(rels))] = True
+            cached[rel_type] = mask
+        job._rel_type_masks = cached
+    return cached
+
+
 def hist_per_relation_type(hists, s, p, o, s_ranks, o_ranks, job, **kwargs):
     E = job.dataset.num_entities()
-    for rel_type, rels in job.dataset.index("relations_per_type").items():
+    for rel_type, rel_mask in _rel_type_lookup(job).items():
         if rel_type not in hists:
             hists[rel_type] = np.zeros(E)
-        mask = np.isin(p, list(rels))
+        mask = rel_mask[p]
         if mask.any():
             hists[rel_type] += np.bincount(o_ranks[mask], minlength=E)
             hists[rel_type] += np.bincount(s_ranks[mask], minlength=E)
@@ -594,10 +611,33 @@ def hist_per_relation_type(hists, s, p, o, s_ranks, o_ranks, job, **kwargs):
                     hists[key] += np.bincount(ranks[mask], minlength=E)
 
 
+def _freq_perc_lookup(job):
+    """Cached id-indexed membership masks per (argument, percentile)."""
+    cached = getattr(job, "_freq_perc_masks", None)
+    if cached is None:
+        percs = job.dataset.index("frequency_percentiles")
+        sizes = {
+            "subject": job.dataset.num_entities(),
+            "object": job.dataset.num_entities(),
+            "relation": job.dataset.num_relations(),
+        }
+        cached = {}
+        for arg, by_perc in percs.items():
+            for perc, ids in by_perc.items():
+                mask = np.zeros(sizes[arg], dtype=bool)
+                if len(ids):
+                    mask[np.fromiter(ids, dtype=np.int64, count=len(ids))] \
+                        = True
+                cached[(arg, perc)] = mask
+        job._freq_perc_masks = cached
+    return cached
+
+
 def hist_per_frequency_percentile(hists, s, p, o, s_ranks, o_ranks, job,
                                   **kwargs):
     E = job.dataset.num_entities()
     percs = job.dataset.index("frequency_percentiles")
+    lookup = _freq_perc_lookup(job)
     for perc in percs["subject"].keys():
         for arg, ids, ranks in [
             ("subject", s, s_ranks),
@@ -607,15 +647,11 @@ def hist_per_frequency_percentile(hists, s, p, o, s_ranks, o_ranks, job,
             key = f"{arg}_{perc}"
             if key not in hists:
                 hists[key] = np.zeros(E)
-            mask = np.fromiter(
-                (int(x) in percs[arg][perc] for x in ids), bool, len(ids)
-            )
+            mask = lookup[(arg, perc)][ids]
             if mask.any():
                 hists[key] += np.bincount(ranks[mask], minlength=E)
         # relation percentile also counts object ranks
         key = f"relation_{perc}"
-        mask = np.fromiter(
-            (int(x) in percs["relation"][perc] for x in p), bool, len(p)
-        )
+        mask = lookup[("relation", perc)][p]
         if mask.any():
             hists[key] += np.bincount(o_ranks[mask], minlength=E)

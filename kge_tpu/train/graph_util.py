@@ -14,37 +14,41 @@ def sample_uniform(triples: np.ndarray, size: int, rng) -> np.ndarray:
 
 
 def sample_edge_neighbourhood(triples: np.ndarray, size: int, rng) -> np.ndarray:
-    """Grow an edge sample that stays connected to already-picked entities:
-    iteratively prefer edges incident to sampled entities (reference
-    edge-neighbourhood sampler)."""
+    """Grow an edge sample that stays connected to already-picked
+    entities (reference edge-neighbourhood sampler; same growth
+    heuristic, vectorized).
+
+    Frontier rounds: each round marks every unpicked edge incident to a
+    seen entity eligible, draws uniformly from them up to the remaining
+    budget, and folds the new endpoints into the seen set. O(|E|) numpy
+    work per round with frontier growth typically geometric — the
+    previous per-edge Python loop was O(rounds x |E|) interpreter time
+    (minutes at the scales where graph sampling is the point)."""
     size = min(size, len(triples))
     n = len(triples)
     chosen = np.zeros(n, dtype=bool)
-    seen_entities: set = set()
-    # start from a random edge
+    num_nodes = int(max(triples[:, 0].max(), triples[:, 2].max())) + 1
+    seen = np.zeros(num_nodes, dtype=bool)
     first = int(rng.integers(n))
     chosen[first] = True
-    seen_entities.update((int(triples[first, 0]), int(triples[first, 2])))
+    seen[triples[first, 0]] = seen[triples[first, 2]] = True
     count = 1
-    # iterate in random order, preferring incident edges; loop until full
     while count < size:
-        progressed = False
-        for i in rng.permutation(n):
-            if count >= size:
-                break
-            if chosen[i]:
-                continue
-            s, o = int(triples[i, 0]), int(triples[i, 2])
-            if s in seen_entities or o in seen_entities:
-                chosen[i] = True
-                seen_entities.update((s, o))
-                count += 1
-                progressed = True
-        if not progressed:
-            # disconnected remainder: pick a fresh random edge
+        eligible = np.flatnonzero(
+            ~chosen & (seen[triples[:, 0]] | seen[triples[:, 2]])
+        )
+        if len(eligible) == 0:
+            # disconnected remainder: restart from a fresh random edge
             remaining = np.flatnonzero(~chosen)
             i = int(rng.choice(remaining))
             chosen[i] = True
-            seen_entities.update((int(triples[i, 0]), int(triples[i, 2])))
+            seen[triples[i, 0]] = seen[triples[i, 2]] = True
             count += 1
+            continue
+        take = min(size - count, len(eligible))
+        pick = rng.choice(eligible, size=take, replace=False)
+        chosen[pick] = True
+        seen[triples[pick, 0]] = True
+        seen[triples[pick, 2]] = True
+        count += take
     return triples[chosen]
