@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from tests.util import create_config
+pytestmark = pytest.mark.slow  # 8-device / long-training tests; fast profile: -m 'not slow'
 
 
 def _cyclic_dataset(config, n=60, ks=(1, 2, 5), n_held=24, seed=0):

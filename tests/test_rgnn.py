@@ -13,6 +13,7 @@ from kge_tpu.models import Ctx, KgeModel
 from kge_tpu.train.train import TrainingJob
 
 from tests.util import create_config, get_dataset_folder
+pytestmark = pytest.mark.slow  # 8-device / long-training tests; fast profile: -m 'not slow'
 
 RGNN_MODELS = ["rgcn", "wgcn", "compgcn", "ragat"]
 

@@ -9,6 +9,7 @@ from kge_tpu import Config, Dataset
 from kge_tpu.train.job import Job
 
 from tests.util import get_dataset_folder
+pytestmark = pytest.mark.slow  # 8-device / long-training tests; fast profile: -m 'not slow'
 
 
 def _search_config(tmp_path, search_type):

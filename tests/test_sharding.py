@@ -15,6 +15,7 @@ from kge_tpu.parallel.mesh import build_mesh, params_sharding
 from kge_tpu.train.train import TrainingJob
 
 from tests.util import create_config, get_dataset_folder
+pytestmark = pytest.mark.slow  # 8-device / long-training tests; fast profile: -m 'not slow'
 
 
 def _job(mesh_data, mesh_model, train_type="KvsAll", model="complex"):

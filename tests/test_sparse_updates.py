@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from tests.util import create_config, get_dataset_folder
+pytestmark = pytest.mark.slow  # 8-device / long-training tests; fast profile: -m 'not slow'
 
 
 def _run_training(sparse_mode, *, optimizer="Adagrad", shared=False,
