@@ -1,10 +1,13 @@
 """Bayesian/quasi-random search (reference: kge/job/search_ax.py).
 
 Uses ax-platform when installed. Otherwise falls back to a built-in
-scrambled-Sobol backend with the same search-space definition and the
-same resume semantics (fixed sobol_seed, already-generated arms are
-regenerated and skipped on resume). The fallback covers the Sobol phase
-of the reference protocol; GP+EI refinement requires ax.
+backend with the same search-space definition and the same resume
+semantics (fixed sobol_seed, already-generated arms are regenerated and
+skipped on resume): a scrambled-Sobol quasi-random phase followed by a
+native GP+EI refinement phase — a numpy Gaussian process (RBF kernel on
+the unit-cube encoding, Cholesky solve) scoring a Sobol candidate pool
+by expected improvement. Deterministic given the stored trial results,
+so resume just refits.
 """
 
 from __future__ import annotations
@@ -115,6 +118,78 @@ class AxSearchJob(AutoSearchJob):
                 raise ValueError(f"unsupported parameter type {p['type']}")
         return params
 
+    def _encode_point(self, params: Dict[str, Any]) -> np.ndarray:
+        """Inverse of _decode_sobol_point: parameters -> unit cube."""
+        u = np.zeros(len(self._sobol_dims))
+        for i, p in enumerate(self._sobol_dims):
+            v = params[p["name"]]
+            if p["type"] == "range":
+                lo, hi = p["bounds"]
+                if p.get("log_scale"):
+                    u[i] = (np.log(v) - np.log(lo)) / max(
+                        np.log(hi) - np.log(lo), 1e-12
+                    )
+                else:
+                    u[i] = (v - lo) / max(hi - lo, 1e-12)
+            else:  # choice
+                values = p["values"]
+                u[i] = (values.index(v) + 0.5) / len(values)
+        return np.clip(u, 0.0, 1.0)
+
+    def _num_sobol(self) -> int:
+        if self.num_sobol_trials < 0:
+            return max(self.num_trials // 2, 5)
+        return self.num_sobol_trials
+
+    def _gp_ei_point(self) -> Optional[Dict[str, Any]]:
+        """One GP+EI arm from the completed trials; None when the model
+        cannot be fit yet (falls back to Sobol)."""
+        metric = self.config.get("valid.metric")
+        X, y = [], []
+        for params, result in zip(self.parameters, self.results):
+            if result is None or metric not in result:
+                continue
+            X.append(self._encode_point(params))
+            y.append(float(result[metric]))
+        if len(X) < 3 or not self._sobol_dims:
+            return None
+        X = np.asarray(X)
+        sign = 1.0 if self.config.get("valid.metric_max") else -1.0
+        y = sign * np.asarray(y)
+        std = max(float(y.std()), 1e-9)
+        yn = (y - y.mean()) / std
+
+        ls = 0.3  # RBF lengthscale on the unit cube
+
+        def kern(a, b):
+            d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+            return np.exp(-0.5 * d2 / ls ** 2)
+
+        try:
+            L = np.linalg.cholesky(
+                kern(X, X) + 1e-6 * np.eye(len(X))
+            )
+        except np.linalg.LinAlgError:
+            return None
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+        from scipy.stats import norm, qmc
+
+        pool = qmc.Sobol(
+            d=len(self._sobol_dims), scramble=True,
+            seed=self.sobol_seed + 1,
+        ).random(256)
+        Ks = kern(pool, X)
+        mu = Ks @ alpha
+        v = np.linalg.solve(L, Ks.T)
+        var = np.maximum(1.0 - (v ** 2).sum(0), 1e-12)
+        sd = np.sqrt(var)
+        z = (mu - yn.max() - 0.01) / sd
+        ei = sd * (z * norm.cdf(z) + norm.pdf(z))
+        # never re-propose an already-evaluated point
+        dup = (np.abs(pool[:, None, :] - X[None, :, :]).max(-1) < 1e-9)
+        ei[dup.any(1)] = -np.inf
+        return self._decode_sobol_point(pool[int(np.argmax(ei))])
+
     def register_trial(self, parameters=None):
         if self._generated >= self.num_trials:
             return None, None
@@ -122,8 +197,13 @@ class AxSearchJob(AutoSearchJob):
             parameters, trial_id = self.ax_client.get_next_trial()
             self._generated += 1
             return parameters, trial_id
-        u = self._sobol.random(1)[0]
         trial_id = self._generated
+        if trial_id >= self._num_sobol():
+            point = self._gp_ei_point()
+            if point is not None:
+                self._generated += 1
+                return point, trial_id
+        u = self._sobol.random(1)[0]
         self._generated += 1
         return self._decode_sobol_point(u), trial_id
 
@@ -164,5 +244,9 @@ class AxSearchJob(AutoSearchJob):
                     )
             self._generated = len(self.parameters)
         elif self._sobol is not None:
-            self._sobol.fast_forward(len(self.parameters))
+            # only the first _num_sobol() arms consumed Sobol draws; the
+            # GP phase refits from the restored results deterministically
+            self._sobol.fast_forward(
+                min(len(self.parameters), self._num_sobol())
+            )
             self._generated = len(self.parameters)

@@ -96,3 +96,80 @@ def test_sobol_search_and_resume(tmp_path):
     job2 = Job.create(config2, _dataset(config))
     result2 = job2.run()
     assert [p for p in job2.parameters[:3]] == job.parameters
+
+
+def test_gp_ei_phase_concentrates_near_optimum(tmp_path):
+    """The native GP+EI refinement (no ax-platform) must propose points
+    closer to a synthetic 1-d optimum than the Sobol phase did. Backend
+    unit test: trial results are injected, no training runs."""
+    from kge_tpu.search.ax import AxSearchJob
+
+    config = _search_config(tmp_path, "ax_search")
+    config.set("ax_search.num_trials", 24)
+    config.set("ax_search.num_sobol_trials", 12)
+    config.set("ax_search.parameters", [
+        {"name": "train.optimizer.default.args.lr", "type": "range",
+         "bounds": [0.0, 1.0]},
+    ])
+    job = AxSearchJob(config, _dataset(config))
+    job.init_search()
+
+    def objective(params):
+        x = params["train.optimizer.default.args.lr"]
+        return {"mean_reciprocal_rank_filtered": 1.0 - (x - 0.7) ** 2}
+
+    picks = []
+    for _ in range(24):
+        params, trial_id = job.register_trial()
+        assert params is not None
+        picks.append(params["train.optimizer.default.args.lr"])
+        job.parameters.append(params)
+        job.results.append(objective(params))
+    sobol_err = np.abs(np.asarray(picks[:12]) - 0.7)
+    gp_err = np.abs(np.asarray(picks[12:]) - 0.7)
+    assert gp_err.mean() < sobol_err.mean() * 0.5, (
+        f"GP phase did not refine: sobol {sobol_err.mean():.3f} vs "
+        f"gp {gp_err.mean():.3f}"
+    )
+
+
+def test_gp_ei_phase_resume_is_deterministic(tmp_path):
+    from kge_tpu.search.ax import AxSearchJob
+
+    def build(name):
+        config = _search_config(tmp_path, name)
+        config.set("ax_search.num_trials", 10)
+        config.set("ax_search.num_sobol_trials", 4)
+        config.set("ax_search.parameters", [
+            {"name": "lookup_embedder.dim", "type": "choice",
+             "values": [8, 16, 32]},
+            {"name": "train.optimizer.default.args.lr", "type": "range",
+             "bounds": [0.01, 1.0], "log_scale": True},
+        ])
+        return AxSearchJob(config, _dataset(config))
+
+    def objective(params):
+        lr = params["train.optimizer.default.args.lr"]
+        return {"mean_reciprocal_rank_filtered": -abs(np.log(lr / 0.1))}
+
+    job = build("gp_a")
+    job.init_search()
+    history = []
+    for _ in range(10):
+        params, _tid = job.register_trial()
+        history.append(params)
+        job.parameters.append(params)
+        job.results.append(objective(params))
+
+    # fresh job, restore first 6 trials, resume: arms 6..9 must match
+    job2 = build("gp_b")
+    job2.init_search()
+    job2.parameters = list(history[:6])
+    job2.results = [objective(p) for p in history[:6]]
+    job2._sobol.fast_forward(min(6, job2._num_sobol()))
+    job2._generated = 6
+    for i in range(6, 10):
+        params, _tid = job2.register_trial()
+        assert params == history[i], i
+        job2.parameters.append(params)
+        job2.results.append(objective(params))
