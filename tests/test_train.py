@@ -257,3 +257,38 @@ def test_sparse_with_autocompleted_num_samples():
     shapes = {batch["uniq_e"].shape for batch in job._generate_batches(1)}
     assert len(shapes) == 1, shapes
     job.run()
+
+
+def test_bfloat16_compute_dtype_end_to_end():
+    """tpu.compute_dtype: bfloat16 must train end-to-end (params stay
+    f32, scoring runs bf16) and track the f32 run's loss trajectory to
+    bf16 tolerance."""
+    import numpy as np
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+    from tests.util import create_config, get_dataset_folder
+
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        config = create_config("dataset_test", model="complex")
+        config.set("console.quiet", True)
+        config.set("lookup_embedder.dim", 16)
+        config.set("train.type", "negative_sampling")
+        config.set("train.batch_size", 8)
+        config.set("train.max_epochs", 3)
+        config.set("negative_sampling.num_samples.s", 4)
+        config.set("negative_sampling.num_samples.o", 4)
+        config.set("train.optimizer.default.args.lr", 0.1, create=True)
+        config.set("random_seed.default", 11)
+        config.set("valid.every", 3)
+        config.set("tpu.compute_dtype", dtype)
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        job = TrainingJob.create(config, dataset)
+        job.run()
+        losses[dtype] = float(job.current_trace["epoch"]["avg_loss"])
+        # params must remain float32 regardless of compute dtype
+        assert job.params["entity_embedder"]["weights"].dtype == np.float32
+        assert "mean_reciprocal_rank_filtered" in job.valid_trace[-1]
+    # bf16 has ~3 decimal digits; trajectories should stay close
+    assert abs(losses["bfloat16"] - losses["float32"]) \
+        / abs(losses["float32"]) < 0.05, losses
