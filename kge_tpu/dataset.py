@@ -188,8 +188,17 @@ class Dataset(Configurable):
             path = os.path.join(self.folder, filename)
 
             def build():
-                data = np.loadtxt(path, dtype=np.int64, usecols=(0, 1, 2), ndmin=2)
-                return np.ascontiguousarray(data.astype(np.int32))
+                # native single-pass parser (~10x loadtxt on Wikidata5M-
+                # size splits); numpy fallback when g++ is unavailable
+                try:
+                    from kge_tpu.native import load_triples_native
+
+                    return load_triples_native(path)
+                except Exception:
+                    data = np.loadtxt(
+                        path, dtype=np.int64, usecols=(0, 1, 2), ndmin=2
+                    )
+                    return np.ascontiguousarray(data.astype(np.int32))
 
             triples = self._cached(f"triples-{key}", [path], build)
             self.config.log(f"Loaded {len(triples)} {key} triples")

@@ -101,3 +101,42 @@ def test_default_indexes(config, folder):
     assert edge_type[len(train)] == train[0, 1] + dataset.num_relations()
     freq = dataset.index("frequency_percentiles")
     assert set(freq.keys()) == {"subject", "relation", "object"}
+
+
+def test_native_triple_loader_matches_loadtxt(tmp_path):
+    """The C++ parser must agree with np.loadtxt on well-formed .del
+    files (extra columns ignored, blank lines skipped) and be fast."""
+    import time
+
+    import numpy as np
+
+    from kge_tpu.native import load_triples_native
+
+    rng = np.random.default_rng(0)
+    n = 200_000
+    t = rng.integers(0, 5_000_000, size=(n, 3))
+    path = str(tmp_path / "train.del")
+    with open(path, "w") as f:
+        for i, (s, p, o) in enumerate(t):
+            extra = "\textra_field" if i % 7 == 0 else ""
+            f.write(f"{s}\t{p}\t{o}{extra}\n")
+            if i % 1000 == 0:
+                f.write("\n")  # blank lines are skipped
+    t0 = time.perf_counter()
+    native = load_triples_native(path)
+    dt_native = time.perf_counter() - t0
+    ref = np.loadtxt(path, dtype=np.int64, usecols=(0, 1, 2), ndmin=2)
+    np.testing.assert_array_equal(native, ref.astype(np.int32))
+    assert dt_native < 1.0, f"native parse too slow: {dt_native:.2f}s"
+
+
+def test_native_triple_loader_rejects_malformed(tmp_path):
+    import pytest as _pytest
+
+    from kge_tpu.native import load_triples_native
+
+    path = str(tmp_path / "bad.del")
+    with open(path, "w") as f:
+        f.write("1\t2\t3\n1\tnot_an_int\t3\n")
+    with _pytest.raises(RuntimeError):
+        load_triples_native(path)
