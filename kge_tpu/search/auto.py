@@ -101,6 +101,19 @@ class AutoSearchJob(SearchJob):
 
             from kge_tpu.search.search import run_trial
 
+            if not self.owns_trial(trial_no):
+                self.config.log(
+                    f"Trial {trial_no} delegated to shard "
+                    f"{trial_no % self.num_shards} of {self.num_shards}"
+                )
+                self.ready_task_results.append(
+                    self.import_delegated_result(
+                        trial_no, trial_config.folder
+                    )
+                )
+                self._collect_results(metric_name)
+                trial_no += 1
+                continue
             self.submit_task(
                 run_trial,
                 self.make_trial_payload(

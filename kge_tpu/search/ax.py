@@ -37,6 +37,13 @@ class AxSearchJob(AutoSearchJob):
         self.ax_client = None
         self._sobol = None
         self._generated = 0
+        if self.num_shards > 1 and self._num_sobol() < self.num_trials:
+            raise ValueError(
+                "search.num_shards > 1 requires a pure Sobol schedule "
+                "(ax_search.num_sobol_trials >= num_trials): the GP "
+                "phase is sequential and shards only see their own "
+                "results"
+            )
         if self.__class__ == AxSearchJob:
             for f in Job.job_created_hooks:
                 f(self)

@@ -54,6 +54,15 @@ class ManualSearchJob(SearchJob):
         from kge_tpu.search.search import run_trial
 
         for i, trial_config, flat in tasks:
+            if not self.owns_trial(i):
+                self.config.log(
+                    f"Trial {i} delegated to shard "
+                    f"{i % self.num_shards} of {self.num_shards}"
+                )
+                self.ready_task_results.append(
+                    self.import_delegated_result(i, trial_config.folder)
+                )
+                continue
             self.submit_task(
                 run_trial,
                 self.make_trial_payload(i, trial_config, len(tasks),

@@ -38,6 +38,15 @@ class SearchJob(Job):
         self.on_error = self.config.check(
             "search.on_error", ["abort", "continue"]
         )
+        self.num_shards = int(self.config.get("search.num_shards"))
+        self.shard_index = int(self.config.get("search.shard_index"))
+        if self.num_shards > 1 and not (
+            0 <= self.shard_index < self.num_shards
+        ):
+            raise ValueError(
+                f"search.shard_index {self.shard_index} out of range for "
+                f"{self.num_shards} shards"
+            )
         self.running_tasks = set()
         self.ready_task_results: List[Any] = []
         if self.num_workers > 1:
@@ -97,6 +106,37 @@ class SearchJob(Job):
             device=device,
             dataset_folder=self.dataset.folder,
         )
+
+    def owns_trial(self, index: int) -> bool:
+        return self.num_shards <= 1 or \
+            index % self.num_shards == self.shard_index
+
+    def import_delegated_result(self, index: int, trial_folder: str
+                                ) -> Dict[str, Any]:
+        """Result of a trial owned by another shard, read from its trace
+        file when visible on a shared filesystem (the reference's
+        trace-file coordination model); a not-yet-finished or invisible
+        trial reports as delegated with no metric."""
+        metric_name = self.config.get("valid.metric")
+        metric_max = bool(self.config.get("valid.metric_max"))
+        tracefile = os.path.join(trial_folder, "trace.yaml")
+        best, value = None, None
+        if os.path.isfile(tracefile):
+            from kge_tpu.utils.trace import Trace
+
+            trace = Trace(tracefile)
+            entries = [
+                e for e in trace.filter({"job": "eval"})
+                if metric_name in e
+            ] or [e for e in trace.entries if metric_name in e]
+            if entries:
+                values = [e[metric_name] for e in entries]
+                pick = (max if metric_max else min)(
+                    range(len(values)), key=values.__getitem__
+                )
+                best, value = dict(entries[pick]), values[pick]
+        return dict(index=index, best=best, metric_value=value,
+                    valid_entries=[], delegated=True)
 
     def record_trial_trace(self, result: Dict[str, Any]):
         """Copy a finished trial's validation entries into the search

@@ -173,3 +173,50 @@ def test_gp_ei_phase_resume_is_deterministic(tmp_path):
         assert params == history[i], i
         job2.parameters.append(params)
         job2.results.append(objective(params))
+
+
+def test_sharded_trial_farm_two_hosts_shared_fs(tmp_path):
+    """Multi-host trial farm: two shards over one shared folder. Shard 0
+    runs even trials, shard 1 odd; after both complete, re-running shard
+    0 imports shard 1's results from the delegated trial traces and
+    selects the global best."""
+    import shutil
+
+    from kge_tpu.search.manual import ManualSearchJob
+
+    def build(shard, folder):
+        config = _search_config(tmp_path, folder)
+        config.set("search.type", "manual_search")
+        config.set("search.num_shards", 2)
+        config.set("search.shard_index", shard)
+        config.set("manual_search.configurations", [
+            {"folder": f"t{i}", "train": {"optimizer": {
+                "default": {"args": {"lr": lr}}}}}
+            for i, lr in enumerate([0.05, 0.1, 0.2, 0.4])
+        ])
+        return config
+
+    # both shards share ONE search folder (simulated shared FS)
+    shared = "sharded"
+    c0 = build(0, shared)
+    job0 = Job.create(c0, _dataset(c0))
+    job0._run()
+    c1 = build(1, shared + "_b")
+    # shard 1 must see the same folder tree
+    shutil.rmtree(c1.folder)
+    c1.folder = c0.folder
+    job1 = Job.create(c1, _dataset(c1))
+    out1 = job1._run()
+    assert out1  # shard 1 found a best among its own trials
+
+    # fresh shard-0 job over the completed tree: delegated results import
+    c2 = build(0, shared + "_c")
+    shutil.rmtree(c2.folder)
+    c2.folder = c0.folder
+    job2 = Job.create(c2, _dataset(c2))
+    # trials already ran: run_trial resumes from checkpoints instantly
+    out2 = job2._run()
+    assert out2["best_trial"] is not None
+    # all four trial folders exist (each shard created its own)
+    for i in range(4):
+        assert os.path.isdir(os.path.join(c0.folder, f"t{i}")), i
