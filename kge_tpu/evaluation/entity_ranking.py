@@ -78,6 +78,12 @@ class EntityRankingJob(EvaluationJob):
         self.implementation = self.config.check(
             "entity_ranking.implementation", ["auto", "generic", "fused"]
         )
+        try:
+            self.eval_precision = self.config.check(
+                "tpu.eval_matmul_precision", ["default", "high", "highest"]
+            )
+        except KeyError:
+            self.eval_precision = "highest"
         self._chunk_fn = None
         self._true_fn = None
         self._fused_query_fn = None
@@ -145,7 +151,7 @@ class EntityRankingJob(EvaluationJob):
         model = self.model
 
         def true_scores(params, model_state, s, p, o):
-            with jax.default_matmul_precision("highest"):
+            with jax.default_matmul_precision(self.eval_precision):
                 ctx = Ctx(train=False, state=model_state)
                 o_true = self.model.score_sp(params, s, p, o_subset=o, ctx=ctx)
                 o_true = jnp.diagonal(o_true)
@@ -281,7 +287,7 @@ class EntityRankingJob(EvaluationJob):
 
         def fn(params, model_state, s, p, o, coords_sp, coords_po,
                o_true, s_true):
-            with jax.default_matmul_precision("highest"):
+            with jax.default_matmul_precision(self.eval_precision):
                 ctx = Ctx(train=False, state=model_state)
                 q_sp, q_po = model.dot_queries(params, s, p, o, ctx=ctx)
                 if monotone:
