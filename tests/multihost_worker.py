@@ -36,7 +36,8 @@ def main():
     config.set("lookup_embedder.dim", 16)
     config.set("train.batch_size", 16)
     config.set("train.max_epochs", 2)
-    config.set("valid.every", 0)
+    config.set("valid.every", 2)
+    config.set("eval.batch_size", 16)
     config.set("train.optimizer.default.args.lr", 0.1, create=True)
     config.set("tpu.mesh.data", 2)
     config.set("tpu.mesh.model", 2)
@@ -59,8 +60,11 @@ def main():
         lambda j: losses.append(float(j.current_trace["epoch"]["avg_loss"]))
     )
     job.run()
+    mrr = (job.valid_trace[-1]["mean_reciprocal_rank_filtered"]
+           if job.valid_trace else None)
     with open(os.path.join(outdir, f"loss_{pid}.json"), "w") as f:
-        json.dump({"losses": losses, "process_count": jax.process_count()}, f)
+        json.dump({"losses": losses, "process_count": jax.process_count(),
+                   "valid_mrr": mrr}, f)
 
 
 if __name__ == "__main__":

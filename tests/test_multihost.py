@@ -44,7 +44,8 @@ def _single_process_losses():
     config.set("lookup_embedder.dim", 16)
     config.set("train.batch_size", 16)
     config.set("train.max_epochs", 2)
-    config.set("valid.every", 0)
+    config.set("valid.every", 2)
+    config.set("eval.batch_size", 16)
     config.set("train.optimizer.default.args.lr", 0.1, create=True)
     config.set("tpu.mesh.data", 2)
     config.set("tpu.mesh.model", 2)
@@ -56,7 +57,8 @@ def _single_process_losses():
         lambda j: losses.append(float(j.current_trace["epoch"]["avg_loss"]))
     )
     job.run()
-    return losses
+    mrr = job.valid_trace[-1]["mean_reciprocal_rank_filtered"]
+    return losses, mrr
 
 
 @pytest.mark.slow
@@ -105,5 +107,10 @@ def test_two_process_cpu_cluster_matches_single_process(tmp_path):
     assert any(n.startswith("checkpoint") for n in os.listdir(f0))
     assert not any(n.startswith("checkpoint") for n in os.listdir(f1))
 
-    single = _single_process_losses()
+    single, single_mrr = _single_process_losses()
     np.testing.assert_allclose(results[0]["losses"], single, rtol=1e-6)
+    # eval (entity ranking) also ran under the 2-process mesh: its
+    # fetch_global count arrays must reproduce the single-process MRR
+    assert results[0]["valid_mrr"] is not None
+    np.testing.assert_allclose(results[0]["valid_mrr"], single_mrr,
+                               rtol=1e-6)
