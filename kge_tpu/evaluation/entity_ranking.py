@@ -224,6 +224,18 @@ class EntityRankingJob(EvaluationJob):
             """coords_*: [num_rankings-1, B, L] global label ids (raw has
             none). Returns [num_rankings, 4, B] (o_rank, o_tie, s_rank,
             s_tie)."""
+            # chunk scores MUST share the true scores' matmul precision:
+            # on TPU a lower ambient default would put candidate and
+            # true scores in different score spaces and corrupt ties
+            with jax.default_matmul_precision(self.eval_precision):
+                return chunk_counts_inner(
+                    params, model_state, s, p, o, chunk_ids, col_valid,
+                    chunk_start, coords_sp, coords_po, o_true, s_true,
+                )
+
+        def chunk_counts_inner(params, model_state, s, p, o, chunk_ids,
+                               col_valid, chunk_start, coords_sp, coords_po,
+                               o_true, s_true):
             ctx = Ctx(train=False, state=model_state)
             C = chunk_ids.shape[0]
             scores = model.score_sp_po(params, s, p, o, entity_subset=chunk_ids,

@@ -37,6 +37,10 @@ def _kernel(q_ref, cand_ref, true_ref, cvalid_ref, rank_ref, ties_ref,
         q_ref[:], cand_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # pinned: Mosaic lowers only HIGHEST/DEFAULT, and the kernel's
+        # contract is exact-f32 scoring for tie semantics regardless of
+        # the ambient (tpu.eval_matmul_precision) context
+        precision=jax.lax.Precision.HIGHEST,
     )  # [TB, TC]
     scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
     true = true_ref[:]          # [TB, 1]
