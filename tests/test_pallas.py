@@ -60,7 +60,9 @@ cand = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
 true = jnp.asarray(rng.standard_normal(B), jnp.float32)
 valid = jnp.asarray((np.arange(C) < C - 7))
 r1, t1 = rank_counts(q, cand, true, valid, interpret=False)
-r2, t2 = rank_counts_xla(q, cand, true, valid)
+# the kernel pins HIGHEST; hold the referee to the same precision
+with jax.default_matmul_precision("highest"):
+    r2, t2 = rank_counts_xla(q, cand, true, valid)
 np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
 np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
 print("MOSAIC-OK")
