@@ -147,11 +147,30 @@ class EntityRankingJob(EvaluationJob):
 
     # ------------------------------------------------------------------ compiled fns
 
+    def _use_fused(self) -> bool:
+        return self.implementation == "fused" or (
+            self.implementation == "auto"
+            and hasattr(self.model, "supports_dot_ranking")
+            and self.model.supports_dot_ranking()
+        )
+
+    def _score_precision(self) -> str:
+        """ONE matmul precision for every score the ranking compares.
+        The fused path is pinned to highest because the Pallas kernel's
+        candidate dot is (Mosaic lowers only HIGHEST/DEFAULT, and the
+        tie contract wants exact f32); true/label/spo scores must live
+        in the same score space or tie counting corrupts. The knob
+        therefore only applies to the generic path."""
+        if self._use_fused():
+            return "highest"
+        return self.eval_precision
+
     def _build_true_fn(self):
         model = self.model
+        precision = self._score_precision()
 
         def true_scores(params, model_state, s, p, o):
-            with jax.default_matmul_precision(self.eval_precision):
+            with jax.default_matmul_precision(precision):
                 ctx = Ctx(train=False, state=model_state)
                 o_true = self.model.score_sp(params, s, p, o_subset=o, ctx=ctx)
                 o_true = jnp.diagonal(o_true)
@@ -163,12 +182,16 @@ class EntityRankingJob(EvaluationJob):
 
     def _build_spo_fn(self):
         model = self.model
+        precision = self._score_precision()
 
         def spo_scores(params, model_state, s, p, o):
-            ctx = Ctx(train=False, state=model_state)
-            o_spo = model.score_spo(params, s, p, o, direction="o", ctx=ctx)
-            s_spo = model.score_spo(params, s, p, o, direction="s", ctx=ctx)
-            return o_spo, s_spo
+            with jax.default_matmul_precision(precision):
+                ctx = Ctx(train=False, state=model_state)
+                o_spo = model.score_spo(params, s, p, o, direction="o",
+                                        ctx=ctx)
+                s_spo = model.score_spo(params, s, p, o, direction="s",
+                                        ctx=ctx)
+                return o_spo, s_spo
 
         return jax.jit(spo_scores)
 
@@ -299,7 +322,10 @@ class EntityRankingJob(EvaluationJob):
 
         def fn(params, model_state, s, p, o, coords_sp, coords_po,
                o_true, s_true):
-            with jax.default_matmul_precision(self.eval_precision):
+            # "highest", always: the Pallas kernel's candidate dot is
+            # pinned there, and every score entering the counting must
+            # share its score space (see _score_precision)
+            with jax.default_matmul_precision("highest"):
                 ctx = Ctx(train=False, state=model_state)
                 q_sp, q_po = model.dot_queries(params, s, p, o, ctx=ctx)
                 if monotone:
@@ -431,11 +457,7 @@ class EntityRankingJob(EvaluationJob):
 
         chunk_size = self.chunk_size if self.chunk_size > 0 else num_entities
         num_chunks = math.ceil(num_entities / chunk_size)
-        use_fused = self.implementation == "fused" or (
-            self.implementation == "auto"
-            and hasattr(self.model, "supports_dot_ranking")
-            and self.model.supports_dot_ranking()
-        )
+        use_fused = self._use_fused()
 
         hists: List[Dict[str, np.ndarray]] = [dict() for _ in rankings]
         epoch_time = -time.time()

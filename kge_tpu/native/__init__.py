@@ -26,11 +26,25 @@ def _lib():
     with _LOCK:
         if _LIB is not None:
             return _LIB
+        import hashlib
+
         here = os.path.dirname(os.path.abspath(__file__))
         src = os.path.join(here, "hostops.cpp")
         so = os.path.join(here, "_hostops.so")
-        if (not os.path.isfile(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
+        stamp = so + ".sha"
+        # rebuild keyed on a SOURCE HASH stamp, not mtimes: git checkouts
+        # do not preserve mtimes, so a stale (or foreign-architecture)
+        # binary would otherwise be loaded silently
+        with open(src, "rb") as f:
+            src_hash = hashlib.sha256(f.read()).hexdigest()
+        built = os.path.isfile(so)
+        if built:
+            try:
+                with open(stamp) as f:
+                    built = f.read().strip() == src_hash
+            except OSError:
+                built = False
+        if not built:
             tmp = so + f".tmp-{os.getpid()}"
             r = subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
@@ -41,6 +55,9 @@ def _lib():
                     f"native build failed: {r.stderr[-1000:]}"
                 )
             os.replace(tmp, so)  # atomic: concurrent builders race safely
+            with open(stamp + f".tmp-{os.getpid()}", "w") as f:
+                f.write(src_hash)
+            os.replace(stamp + f".tmp-{os.getpid()}", stamp)
         lib = ctypes.CDLL(so)
         lib.parse_triples.restype = ctypes.c_long
         lib.parse_triples.argtypes = [

@@ -151,6 +151,28 @@ def put_global(arr: np.ndarray, sharding):
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _replicator(sharding):
+    """One cached jitted identity per target sharding: a fresh
+    jax.jit(lambda ...) per call would retrace + recompile the gather
+    program on every checkpoint/epoch fetch (jit caches key on the
+    function object)."""
+    return jax.jit(lambda a: a, out_shardings=sharding)
+
+
+def barrier(name: str):
+    """Cross-process sync point (no-op single-process): used after
+    primary-only filesystem writes so other processes cannot race the
+    write on a shared filesystem."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def fetch_global(tree):
     """jax.device_get that also works for arrays sharded across
     processes: non-addressable shards are first replicated with an
@@ -162,10 +184,7 @@ def fetch_global(tree):
 
     def one(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            mesh = x.sharding.mesh
-            x = jax.jit(
-                lambda a: a, out_shardings=NamedSharding(mesh, P())
-            )(x)
+            x = _replicator(NamedSharding(x.sharding.mesh, P()))(x)
         return x
 
     tree = jax.tree_util.tree_map(one, tree)

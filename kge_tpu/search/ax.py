@@ -197,6 +197,22 @@ class AxSearchJob(AutoSearchJob):
         ei[dup.any(1)] = -np.inf
         return self._decode_sobol_point(pool[int(np.argmax(ei))])
 
+    def _fallback_point(self, trial_id: int) -> np.ndarray:
+        """Quasi-random point for a GP-phase trial whose GP cannot fit
+        yet. Drawn from a SEPARATE stream positioned by trial id, so the
+        main Sobol stream stays exactly num_sobol draws long and resume
+        (which fast-forwards by min(done, num_sobol)) regenerates the
+        same arms no matter how many fallbacks occurred pre-crash."""
+        from scipy.stats import qmc
+
+        s = qmc.Sobol(
+            d=max(len(self._sobol_dims), 1), scramble=True,
+            seed=self.sobol_seed + 2,
+        )
+        if trial_id:
+            s.fast_forward(trial_id)
+        return s.random(1)[0]
+
     def register_trial(self, parameters=None):
         if self._generated >= self.num_trials:
             return None, None
@@ -207,9 +223,12 @@ class AxSearchJob(AutoSearchJob):
         trial_id = self._generated
         if trial_id >= self._num_sobol():
             point = self._gp_ei_point()
+            self._generated += 1
             if point is not None:
-                self._generated += 1
                 return point, trial_id
+            return self._decode_sobol_point(
+                self._fallback_point(trial_id)
+            ), trial_id
         u = self._sobol.random(1)[0]
         self._generated += 1
         return self._decode_sobol_point(u), trial_id

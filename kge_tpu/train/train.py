@@ -85,6 +85,32 @@ class TrainingJob(TrainingOrEvaluationJob):
         from kge_tpu.parallel import distributed as dist
 
         dist.maybe_init_from_config(config)
+        if jax.process_count() > 1:
+            # every process must agree on folder-ness: checkpoint saves
+            # gather collectively before the primary writes, so one
+            # process skipping _save (folder None) while another enters
+            # it would deadlock; resume likewise requires one SHARED
+            # folder so all processes load the primary's checkpoint
+            from jax.experimental import multihost_utils
+
+            has_folder = np.asarray(
+                [1 if config.folder else 0], dtype=np.int32
+            )
+            all_flags = multihost_utils.process_allgather(has_folder)
+            if int(all_flags.min()) != int(all_flags.max()):
+                raise ValueError(
+                    "multi-host runs must set a folder on every process "
+                    "or on none (use one SHARED folder: process 0 writes "
+                    "checkpoints, every process resumes from it)"
+                )
+            if config.folder and not dist.is_primary():
+                # non-primary processes keep their logs/trace out of the
+                # shared kge.log/trace.yaml (no file-level interleaving);
+                # checkpoints stay primary-only in _save
+                config.log_folder = os.path.join(
+                    config.folder, f"proc{jax.process_index()}"
+                )
+                os.makedirs(config.log_folder, exist_ok=True)
         self.device = resolve_device(config)
         jax.config.update(
             "jax_default_matmul_precision",
@@ -447,6 +473,10 @@ class TrainingJob(TrainingOrEvaluationJob):
     def _delete_obsolete_checkpoints(self, every: int, keep: int):
         if not self.config.folder:
             return
+        from kge_tpu.parallel.distributed import is_primary
+
+        if not is_primary():
+            return  # shared folder: only the writer rotates
         keep_init = self.config.get("train.checkpoint.keep_init")
         for e in range(1 if keep_init else 0, self.epoch):
             keep_this = (
@@ -635,6 +665,7 @@ class TrainingJob(TrainingOrEvaluationJob):
         state_np = dist.fetch_global(self.model_state)
         opt_np = dist.fetch_global(self.opt_state)
         if not dist.is_primary():
+            dist.barrier(f"save:{os.path.basename(filename)}")
             return
         checkpoint = {
             "type": "train",
@@ -649,6 +680,9 @@ class TrainingJob(TrainingOrEvaluationJob):
         self.config.save_to(checkpoint)
         self.dataset.save_to(checkpoint)
         save_checkpoint(filename, checkpoint)
+        # non-primary processes wait here so a subsequent resume/read of
+        # the shared-filesystem checkpoint cannot race the write
+        dist.barrier(f"save:{os.path.basename(filename)}")
 
     def _load(self, checkpoint: Dict[str, Any]):
         if checkpoint["type"] != "train":

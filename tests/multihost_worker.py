@@ -46,7 +46,10 @@ def main():
     config.set("tpu.multihost.coordinator_address", f"localhost:{port}")
     config.set("tpu.multihost.num_processes", nproc)
     config.set("tpu.multihost.process_id", pid)
-    config.folder = os.path.join(outdir, f"folder_{pid}")
+    # ONE shared folder for all processes (the supported multi-host
+    # layout): process 0 writes checkpoints/kge.log/trace.yaml there,
+    # non-primary logs divert to proc<k>/ subfolders
+    config.folder = os.path.join(outdir, "shared_folder")
     os.makedirs(config.folder, exist_ok=True)
 
     dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
@@ -62,9 +65,22 @@ def main():
     job.run()
     mrr = (job.valid_trace[-1]["mean_reciprocal_rank_filtered"]
            if job.valid_trace else None)
+
+    # resume from the shared checkpoint: both processes load the
+    # primary's file and continue in lockstep for one more epoch
+    from kge_tpu.train.job import Job
+    from kge_tpu.utils.io import load_checkpoint
+
+    checkpoint = load_checkpoint(config.checkpoint_file(2))
+    config.set("train.max_epochs", 3)
+    job2 = Job.create_from(checkpoint, new_config=config, dataset=dataset)
+    assert job2.epoch == 2
+    job2.run()
+    resumed_epoch = job2.epoch
+
     with open(os.path.join(outdir, f"loss_{pid}.json"), "w") as f:
         json.dump({"losses": losses, "process_count": jax.process_count(),
-                   "valid_mrr": mrr}, f)
+                   "valid_mrr": mrr, "resumed_epoch": resumed_epoch}, f)
 
 
 if __name__ == "__main__":

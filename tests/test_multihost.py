@@ -101,11 +101,13 @@ def test_two_process_cpu_cluster_matches_single_process(tmp_path):
         results[0]["losses"], results[1]["losses"], rtol=0, atol=0
     )
 
-    # checkpoint files written by process 0 only
-    f0 = os.path.join(outdir, "folder_0")
-    f1 = os.path.join(outdir, "folder_1")
-    assert any(n.startswith("checkpoint") for n in os.listdir(f0))
-    assert not any(n.startswith("checkpoint") for n in os.listdir(f1))
+    # shared folder: checkpoints written once (by process 0), non-primary
+    # logs diverted to proc1/; resume succeeded on both processes
+    shared = os.path.join(outdir, "shared_folder")
+    assert any(n.startswith("checkpoint") for n in os.listdir(shared))
+    assert os.path.isdir(os.path.join(shared, "proc1"))
+    assert os.path.isfile(os.path.join(shared, "proc1", "kge.log"))
+    assert all(r["resumed_epoch"] == 3 for r in results)
 
     single, single_mrr = _single_process_losses()
     np.testing.assert_allclose(results[0]["losses"], single, rtol=1e-6)
