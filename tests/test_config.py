@@ -92,3 +92,54 @@ def test_deprecated_conflicting_keys_raise():
             "eval": {"chunk_size": 512},
             "entity_ranking": {"chunk_size": 1024},
         })
+
+
+def test_recipe_configs_build_jobs():
+    """examples/recipes/*.yaml (the reference's default GNN training
+    recipes) must load and construct their training jobs (tiny fixture
+    dataset substituted; one batch dims shrunk for speed)."""
+    import glob
+    import os
+
+    import pytest
+
+    from kge_tpu import Config, Dataset
+    from kge_tpu.train.train import TrainingJob
+    from tests.util import get_dataset_folder
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "examples/recipes/*.yaml")))
+    assert len(paths) >= 6
+    for path in paths:
+        config = Config()
+        config.folder = None
+        config.set("console.quiet", True, create=True)
+        config.load(path, create=True)
+        config.set("dataset.name", "dataset_test")
+        config.set("job.device", "cpu")
+        config.set("train.batch_size", 4)
+        config.set("train.max_epochs", 1)
+        # 4-entity fixture: 1/E exceeds recipe label smoothing; let the
+        # job auto-correct instead of rejecting the recipe value
+        config.set("train.auto_correct", True)
+        model_key = config.get("model")
+        for side in ("entity_embedder", "relation_embedder"):
+            config.set(f"{model_key}.{side}.dim", 16)
+        # rgcn recipe: 100 block-diagonal blocks need dim % blocks == 0
+        try:
+            if config.get(f"{model_key}.encoder.num_blocks_or_bases") > 16:
+                config.set(f"{model_key}.encoder.num_blocks_or_bases", 4)
+        except KeyError:
+            pass
+        try:
+            config.set(f"{model_key}.decoder.base_model.entity_embedder.dim",
+                       16)
+            config.set(
+                f"{model_key}.decoder.base_model.relation_embedder.dim", 16)
+        except KeyError:
+            pass
+        if config.get("negative_sampling.graph_sampling") != "None":
+            config.set("negative_sampling.graph_sampling_size", 4)
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        job = TrainingJob.create(config, dataset)
+        assert job is not None, path
