@@ -115,8 +115,10 @@ class TrainingJobNegativeSampling(TrainingJob):
             else:
                 # observed v5e backend fault when the fused loss+row-scatter
                 # program touches a single table buffer over ~1 GiB (the
-                # split phases each run fine); cap auto until resolved --
-                # beyond this, shard the vocabulary over the mesh instead
+                # split phases each run fine); re-verified still faulting
+                # on jaxlib 0.9.0 (worker crash at V=2.5M, dim 128); cap
+                # auto until resolved -- beyond this, shard the
+                # vocabulary over the mesh instead
                 dim = self.model.get_s_embedder().dim
                 e_pad = self.model.get_s_embedder().padded_vocab_size
                 shards = self.mesh.shape["model"] if self.mesh else 1
