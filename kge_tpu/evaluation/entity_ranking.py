@@ -297,9 +297,11 @@ class EntityRankingJob(EvaluationJob):
     # -------------------------------------------------------------- fused path
 
     def _build_fused_batch_fn(self, num_rankings: int, chunk_size: int):
-        """ONE compiled program per batch: dot-form queries, fused
-        Pallas rank counting over all entities (scanned in chunks), and
-        filtering by coordinate-count subtraction.
+        """ONE compiled program per batch: dot-form queries, one fused
+        Pallas rank-count call per side over the full candidate set
+        (the kernel grid streams candidate tiles — entity_ranking.
+        chunk_size only applies to the generic path), and filtering by
+        coordinate-count subtraction.
 
         Filtering by counting: instead of masking label positions to
         -inf in a dense score matrix, score ONLY the label coordinates
@@ -313,7 +315,6 @@ class EntityRankingJob(EvaluationJob):
         atol, rtol = self.tie_atol, self.tie_rtol
         num_entities = self.dataset.num_entities()
         interpret = jax.default_backend() == "cpu"
-        num_chunks = math.ceil(num_entities / chunk_size)
 
         monotone = (
             getattr(model, "dot_score_space", lambda: "native")()
@@ -350,26 +351,25 @@ class EntityRankingJob(EvaluationJob):
                 s_true = jnp.where(jnp.isnan(s_true), NEG_INF, s_true)
                 B = q_sp.shape[0]
 
-                def raw_counts(chunk_idx, acc):
-                    start = chunk_idx * chunk_size
-                    ids = start + jnp.arange(chunk_size, dtype=jnp.int32)
-                    valid = (ids < num_entities).astype(jnp.float32)
-                    ids = jnp.minimum(ids, num_entities - 1)
-                    cand_sp, cand_po = model.dot_candidates(
-                        params, ids, ctx=ctx
-                    )
-                    r0, t0 = rank_counts(q_sp, cand_sp, o_true, valid,
-                                         atol=atol, rtol=rtol,
-                                         interpret=interpret)
-                    r1, t1 = rank_counts(q_po, cand_po, s_true, valid,
-                                         atol=atol, rtol=rtol,
-                                         interpret=interpret)
-                    return acc + jnp.stack([r0, t0, r1, t1]).astype(jnp.int32)
-
-                raw = jax.lax.fori_loop(
-                    0, num_chunks, raw_counts,
-                    jnp.zeros((4, B), jnp.int32),
-                )
+                # ONE kernel call per side over the full candidate set:
+                # the Pallas grid IS the chunking (it streams [tc, D]
+                # candidate tiles through VMEM), so no host-chosen chunk
+                # loop and — for identity candidate transforms — no
+                # materialized candidate copies at all; the kernel reads
+                # the embedding table directly. Vocab-padding rows (the
+                # table pads to divide the mesh axis) are masked invalid.
+                cand_sp, cand_po = model.dot_candidates_all(params, ctx=ctx)
+                C = cand_sp.shape[0]
+                valid = (
+                    jnp.arange(C, dtype=jnp.int32) < num_entities
+                ).astype(jnp.float32)
+                r0, t0 = rank_counts(q_sp, cand_sp, o_true, valid,
+                                     atol=atol, rtol=rtol,
+                                     interpret=interpret)
+                r1, t1 = rank_counts(q_po, cand_po, s_true, valid,
+                                     atol=atol, rtol=rtol,
+                                     interpret=interpret)
+                raw = jnp.stack([r0, t0, r1, t1]).astype(jnp.int32)
 
                 def coord_counts(q, coords, true, side):
                     # coords: [V-1, B, L] global entity ids (2^30 padding)

@@ -503,6 +503,17 @@ class KgeModel(KgeBase):
         )
         return cand_sp, cand_po
 
+    def dot_candidates_all(self, params, ctx: Ctx):
+        """Candidate matrices over the WHOLE entity vocabulary. For
+        identity candidate transforms (DistMult/ComplEx raw rows) this
+        is the embedding table itself — no gather, no materialized
+        copy — letting the fused rank-count kernel stream it directly."""
+        emb = self.get_s_embedder().embed_all(params["entity_embedder"], ctx)
+        return (
+            self._scorer.candidate_vec(params["scorer"], emb, "sp_", ctx),
+            self._scorer.candidate_vec(params["scorer"], emb, "_po", ctx),
+        )
+
     def score_sp_po(self, params, s, p, o, entity_subset=None,
                     ctx: Optional[Ctx] = None) -> jnp.ndarray:
         """[n, 2m]: (s,p,?) scores then (?,p,o) scores over the entity

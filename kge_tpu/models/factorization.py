@@ -53,22 +53,25 @@ class ComplExScorer(RelationalScorer):
         return jnp.concatenate([p_re, p_emb, -p_im], axis=1)
 
     def query_vec(self, params, a_emb, p_emb, combine, ctx):
-        r_all = self._blocks(p_emb)
-        if combine == "sp_":
-            s_all = jnp.concatenate([a_emb, a_emb], axis=1)
-            return s_all * r_all
+        # fold the complex product into the QUERY so candidates stay the
+        # RAW [C, d] embedding rows: score = Re((s.p) conj(e)) =
+        # [q_re || q_im] . [e_re || e_im]. Halves the rank-count
+        # matmul's contraction width and removes the per-chunk [C, 2d]
+        # candidate materialization of the block-trick form (the eval
+        # hot path streams the whole entity table per batch).
         half = a_emb.shape[1] // 2
-        o_re, o_im = a_emb[:, :half], a_emb[:, half:]
-        o_all = jnp.concatenate([a_emb, o_im, o_re], axis=1)
-        return r_all * o_all
+        a_re, a_im = a_emb[:, :half], a_emb[:, half:]
+        p_re, p_im = p_emb[:, :half], p_emb[:, half:]
+        if combine == "sp_":
+            q_re = a_re * p_re - a_im * p_im
+            q_im = a_re * p_im + a_im * p_re
+        else:  # "_po": candidates are subjects; a_emb is o
+            q_re = p_re * a_re + p_im * a_im
+            q_im = p_re * a_im - p_im * a_re
+        return jnp.concatenate([q_re, q_im], axis=1)
 
     def candidate_vec(self, params, cand_emb, combine, ctx):
-        if combine == "sp_":
-            half = cand_emb.shape[-1] // 2
-            c_re = cand_emb[..., :half]
-            c_im = cand_emb[..., half:]
-            return jnp.concatenate([cand_emb, c_im, c_re], axis=-1)
-        return jnp.concatenate([cand_emb, cand_emb], axis=-1)
+        return cand_emb
 
     def score_emb(self, params, s_emb, p_emb, o_emb, combine, ctx: Ctx):
         n = p_emb.shape[0]

@@ -102,6 +102,12 @@ class ReciprocalRelationsModel(KgeModel):
         q_po = self._scorer.query_vec(params["scorer"], o_emb, p_inv, "sp_", ctx)
         return q_sp, q_po
 
+    def dot_candidates_all(self, params, ctx=None):
+        ctx = ctx or Ctx()
+        emb = self.get_s_embedder().embed_all(params["entity_embedder"], ctx)
+        cand = self._scorer.candidate_vec(params["scorer"], emb, "sp_", ctx)
+        return cand, cand
+
     def dot_candidates(self, params, entity_ids, ctx=None,
                        sides=("sp", "po")):
         # Both query sides are "sp_"-form under reciprocal rewriting, so

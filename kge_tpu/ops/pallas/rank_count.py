@@ -79,7 +79,11 @@ def rank_counts(q: jnp.ndarray, cand: jnp.ndarray, true: jnp.ndarray,
     C = cand.shape[0]
     Bp, Cp = _round_up(B, tb), _round_up(C, tc)
     q_p = jnp.zeros((Bp, D), q.dtype).at[:B].set(q)
-    cand_p = jnp.zeros((Cp, D), cand.dtype).at[:C].set(cand)
+    # cand is NOT padded: for identity candidate transforms it is the
+    # raw (multi-GiB at Wikidata5M scale) embedding table, and an
+    # explicit pad would copy it wholesale. Pallas handles the ragged
+    # trailing block; whatever the boundary tile reads is excluded by
+    # the (cheaply padded) cand_valid mask.
     true_p = jnp.full((Bp, 1), jnp.inf, jnp.float32).at[:B, 0].set(true)
     cvalid_p = jnp.zeros((1, Cp), jnp.float32).at[0, :C].set(
         cand_valid.astype(jnp.float32)
@@ -109,7 +113,7 @@ def rank_counts(q: jnp.ndarray, cand: jnp.ndarray, true: jnp.ndarray,
             jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(q_p, cand_p, true_p, cvalid_p)
+    )(q_p, cand, true_p, cvalid_p)
     return rank[:B, 0], ties[:B, 0]
 
 

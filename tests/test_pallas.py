@@ -70,7 +70,7 @@ print("MOSAIC-OK")
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     r = subprocess.run([sys.executable, "-c", code], env=env,
-                       capture_output=True, text=True, timeout=420,
+                       capture_output=True, text=True, timeout=900,
                        cwd=os.path.dirname(os.path.dirname(
                            os.path.abspath(__file__))))
     if "assert jax.default_backend()" in r.stderr and r.returncode != 0 \
