@@ -57,17 +57,17 @@ def main(num_entities=4_818_679, dim=128):
 
     config.set("job.type", "eval")
     config.set("eval.split", "test")
-    config.set("eval.batch_size", 512)
+    config.set("eval.batch_size", 1024)
     config.set("entity_ranking.implementation", "fused")
     config.set("entity_ranking.filter_splits", ["train", "valid", "test"])
     config.set("entity_ranking.chunk_size", 1 << 19)
     eval_job = EvaluationJob.create(config, dataset, model=job.model)
     eval_job.set_params(job.params, job.model_state)
     eval_job.verbose = False
-    eval_job.triples = dataset._triples["test"][:512]
+    eval_job.triples = dataset._triples["test"][:1024]
     eval_job._is_prepared = False
     eval_job._evaluate()  # compile
-    n_eval = 1024
+    n_eval = 2048
     eval_job.triples = dataset._triples["test"][:n_eval]
     t0 = time.perf_counter()
     eval_job._evaluate()
