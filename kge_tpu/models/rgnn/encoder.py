@@ -144,6 +144,26 @@ def build_graph_buffers(triples: np.ndarray, num_relations: int,
         rb = _row_blocks(*args, num_nodes=N, K=block_size)
         for k, v in rb.items():
             graph[f"rb_{mode}_{k}"] = v
+        # TRANSPOSE row blocks (keyed by neighbor): the aggregation's
+        # backward pass d_xw[j] = sum over incident (row, k) of
+        # g_row * scale becomes the same accumulated-gather pattern as
+        # the forward instead of K sequential full-buffer scatters
+        # (layers._rowblock_gather_sum custom_vjp)
+        valid = rb["pos"] >= 0
+        rows_idx = np.broadcast_to(
+            np.arange(rb["node"].shape[0], dtype=np.int64)[:, None],
+            rb["nbr"].shape,
+        )
+        trb = _row_blocks(
+            rb["nbr"][valid].astype(np.int64),
+            rows_idx[valid],
+            np.zeros(int(valid.sum()), dtype=np.int32),
+            rb["pos"][valid].astype(np.int64),
+            num_nodes=N, K=block_size,
+        )
+        graph[f"rb_{mode}_trow"] = trb["nbr"]
+        graph[f"rb_{mode}_tpos"] = trb["pos"]
+        graph[f"rb_{mode}_tnode"] = trb["node"]
     if per_relation:
         rels, counts = np.unique(edge_type, return_counts=True)
         # chunk each relation's edges to a fixed width: skewed relation

@@ -119,6 +119,48 @@ class RgnnLayerBase:
         return {}
 
 
+def _rowblock_gather_sum(xw, scale, nbr, pos, node, trow, tpos, tnode,
+                         num_nodes: int):
+    """out[v] = sum over v's row-block entries of xw[nbr] * scale[pos],
+    with a custom SYMMETRIC backward: d_xw aggregates through the
+    TRANSPOSE row blocks (keyed by neighbor) with the same
+    accumulated-gather pattern, instead of autodiff's K sequential
+    scatter-adds into the full [N, d] cotangent buffer (each a full
+    buffer pass).
+
+    Contract: ``scale`` must not require gradients (its cotangent is
+    dropped) — callers gate on no learned per-edge weights; masks/norms
+    derive from non-differentiable inputs.
+    """
+    K = nbr.shape[1]
+
+    def gather_acc(table, sc, idx_rows, idx_pos, out_node, n_out):
+        acc = jnp.zeros((idx_rows.shape[0], table.shape[1]), table.dtype)
+        for k in range(K):
+            p = idx_pos[:, k]
+            s = jnp.where(p >= 0, jnp.take(sc, jnp.maximum(p, 0)), 0.0)
+            acc = acc + jnp.take(table, idx_rows[:, k], axis=0) \
+                * s[:, None]
+        return segment_sum(acc, out_node, n_out, indices_are_sorted=True)
+
+    @jax.custom_vjp
+    def agg(xw, sc):
+        return gather_acc(xw, sc, nbr, pos, node, num_nodes)
+
+    def fwd(xw, sc):
+        return gather_acc(xw, sc, nbr, pos, node, num_nodes), sc
+
+    def bwd(sc, g):
+        # d_acc[row] = g[node[row]]; d_xw[j] = sum of d_acc over the
+        # transpose blocks — same kernel shape as the forward
+        d_acc = jnp.take(g, node, axis=0)
+        d_xw = gather_acc(d_acc, sc, trow, tpos, tnode, g.shape[0])
+        return d_xw, jnp.zeros_like(sc)
+
+    agg.defvjp(fwd, bwd)
+    return agg(xw, scale)
+
+
 class MessagePassingLayer(RgnnLayerBase):
     """CompGCN/RAGAT-style layer (reference: rgnn_encoder.py:15-598)."""
 
@@ -358,6 +400,20 @@ class MessagePassingLayer(RgnnLayerBase):
             h_i = jnp.take(x, node, axis=0)
             mw_table = (params[f"w_msgweight_h{head}"]
                         if self.message_weight else None)
+        if (self.hoistable and rw is None
+                and not self.learned_relation_weight
+                and f"rb_{rb_key}_trow" in graph):
+            # symmetric-backward fast path (see _rowblock_gather_sum);
+            # alpha (learned_relation_weight) would need a scale
+            # gradient the custom vjp drops, so it keeps autodiff
+            out = _rowblock_gather_sum(
+                xw, scale, nbr, pos, node,
+                graph[f"rb_{rb_key}_trow"], graph[f"rb_{rb_key}_tpos"],
+                graph[f"rb_{rb_key}_tnode"], N,
+            )
+            if rel_term is not None:
+                out = out - rel_term
+            return out
         acc = jnp.zeros((node.shape[0], self.out_dim), x.dtype)
         for k in range(K):
             nb, tp, p = nbr[:, k], types[:, k], pos[:, k]

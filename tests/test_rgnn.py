@@ -158,3 +158,52 @@ def test_row_block_aggregation_matches_scatter():
             outs[0], outs[1], rtol=2e-5, atol=1e-5,
             err_msg=f"{propagation}/{composition}",
         )
+
+
+def test_row_block_gradients_match_scatter():
+    """The custom symmetric backward (transpose row blocks) must
+    reproduce autodiff's gradients wrt entity/relation tables and layer
+    weights, with edge_norm on and off."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from kge_tpu import Dataset
+    from kge_tpu.models import Ctx, KgeModel
+    from tests.util import create_config, get_dataset_folder
+
+    for edge_norm in (True, False):
+        grads = []
+        for block in (0, 4):
+            config = create_config("dataset_test", model="compgcn")
+            config.set("compgcn.encoder.message_passing_args.edge_norm",
+                       edge_norm)
+            config.set("compgcn.encoder.neighbor_block_size", block,
+                       create=True)
+            config.set("compgcn.entity_embedder.dim", 16, create=True)
+            config.set("compgcn.relation_embedder.dim", 16, create=True)
+            config.set(
+                "compgcn.decoder.base_model.entity_embedder.dim", 16,
+                create=True)
+            config.set(
+                "compgcn.decoder.base_model.relation_embedder.dim", 16,
+                create=True)
+            dataset = Dataset.create(
+                config, get_dataset_folder("dataset_test"))
+            model = KgeModel.create(config, dataset)
+            params = model.init_params(jax.random.PRNGKey(3))
+
+            def loss(params):
+                ctx = Ctx(train=False, state=model.init_state())
+                s = jnp.asarray([0, 1])
+                p = jnp.asarray([0, 1])
+                return jnp.sum(model.score_sp(params, s, p, ctx=ctx) ** 2)
+
+            grads.append(jax.grad(loss)(params))
+        flat0 = jax.tree_util.tree_leaves(grads[0])
+        flat1 = jax.tree_util.tree_leaves(grads[1])
+        for a, b in zip(flat0, flat1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5,
+                err_msg=f"edge_norm={edge_norm}",
+            )
