@@ -116,6 +116,11 @@ class RelationalScorer(KgeBase):
 
     supports_dot_form = False
 
+    #: combines the dot form covers. ConvE/Transformer are sp_-only:
+    #: enough for reciprocal-wrapped ranking (both sides rewrite to
+    #: sp_), not for a bare model's _po side.
+    dot_combines = ("sp_", "_po")
+
     # "native": q . c equals score_emb exactly (bilinear scorers).
     # "monotone": q . c is a strictly increasing transform of the score
     # (L2 distance scorers via the expansion ||q-c||^2 = ||q||^2 +
@@ -470,7 +475,11 @@ class KgeModel(KgeBase):
     # ------------------------------------------------------------------ dot forms
 
     def supports_dot_ranking(self) -> bool:
-        return self._scorer.supports_dot_form
+        # a bare model ranks both sides natively, so the scorer must
+        # provide both dot combines (reciprocal wrapping needs only sp_
+        # and overrides this check)
+        return self._scorer.supports_dot_form and \
+            "_po" in self._scorer.dot_combines
 
     def dot_score_space(self) -> str:
         """"native" or "monotone" — see RelationalScorer.dot_score_space."""

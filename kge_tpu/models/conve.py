@@ -148,6 +148,28 @@ class ConvEScorer(RelationalScorer):
         out = batch_norm(out, "bn2", ctx, reduce_axes=(0,))
         return jax.nn.relu(out)
 
+    # dot form: score = [1 || features(s,p)] . [bias || e_o] — the raw
+    # candidate row IS the candidate vector (bias lives in dim 0), so
+    # reciprocal-wrapped ConvE (its only usable eval configuration —
+    # both ranking sides rewrite to sp_) rides the fused rank-count
+    # kernel streaming the embedding table directly.
+    supports_dot_form = True
+    dot_combines = ("sp_",)
+
+    def query_vec(self, params, a_emb, p_emb, combine, ctx):
+        if combine != "sp_":
+            raise ValueError(
+                "ConvE has no _po dot form (wrap in "
+                "reciprocal_relations_model, which queries sp_ both ways)"
+            )
+        feats = self._features(params, a_emb, p_emb, ctx)
+        return jnp.concatenate(
+            [jnp.ones_like(feats[:, :1]), feats], axis=1
+        )
+
+    def candidate_vec(self, params, cand_emb, combine, ctx):
+        return cand_emb
+
     def score_emb(self, params, s_emb, p_emb, o_emb, combine, ctx: Ctx):
         if combine not in ("sp_", "spo"):
             raise ValueError(f"combine {combine} not supported by ConvE")

@@ -88,7 +88,10 @@ class ReciprocalRelationsModel(KgeModel):
         raise ValueError("the reciprocal relations model cannot score relations")
 
     def supports_dot_ranking(self) -> bool:
-        return self._scorer.supports_dot_form
+        # both ranking sides rewrite to sp_ queries, so an sp_-only dot
+        # form (ConvE, Transformer) suffices
+        return self._scorer.supports_dot_form and \
+            "sp_" in self._scorer.dot_combines
 
     def dot_queries(self, params, s, p, o, ctx=None):
         ctx = ctx or Ctx()

@@ -105,6 +105,31 @@ class TransformerScorer(RelationalScorer):
             )
         return x
 
+    # dot form: score = encoded-CLS . e_o with raw candidates; like
+    # ConvE this is sp_-only, which reciprocal wrapping (the standard
+    # eval configuration) uses for both ranking sides.
+    supports_dot_form = True
+    dot_combines = ("sp_",)
+
+    def query_vec(self, params, a_emb, p_emb, combine, ctx):
+        if combine != "sp_":
+            raise ValueError(
+                "Transformer has no _po dot form (wrap in "
+                "reciprocal_relations_model, which queries sp_ both ways)"
+            )
+        x = jnp.stack(
+            [
+                jnp.broadcast_to(params["cls"][None, :], a_emb.shape),
+                a_emb + params["sub_type"][None, :],
+                p_emb + params["rel_type"][None, :],
+            ],
+            axis=1,
+        )
+        return self._encoder(params, x, ctx)[:, 0, :]
+
+    def candidate_vec(self, params, cand_emb, combine, ctx):
+        return cand_emb
+
     def score_emb(self, params, s_emb, p_emb, o_emb, combine, ctx: Ctx):
         if combine not in ("sp_", "spo"):
             raise ValueError(f"combine {combine} not supported by Transformer")

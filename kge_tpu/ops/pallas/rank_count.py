@@ -81,8 +81,10 @@ def rank_counts(q: jnp.ndarray, cand: jnp.ndarray, true: jnp.ndarray,
         # candidate tile bounded to ~4 MiB: big tiles amortize the
         # per-tile grid overhead (measured 2.6x at Wikidata5M scale,
         # tc 2048 -> 8192 at D=128) while 2x that trips the 16 MiB
-        # scoped-VMEM limit with double buffering
-        tc = max(2048, min(8192, (4 << 20) // (D * 4)))
+        # scoped-VMEM limit with double buffering. Must be a multiple
+        # of 128: tc is the LAST dim of the cand_valid block.
+        tc = (4 << 20) // (D * 4) // 128 * 128
+        tc = max(2048, min(8192, tc))
     Bp, Cp = _round_up(B, tb), _round_up(C, tc)
     q_p = jnp.zeros((Bp, D), q.dtype).at[:B].set(q)
     # cand is NOT padded: for identity candidate transforms it is the

@@ -192,24 +192,45 @@ def test_fused_matches_generic_reciprocal(base):
             )
 
 
-def test_fused_reciprocal_conve_falls_back():
-    """Non-bilinear scorers use the generic path under auto."""
-    config = create_config("dataset_test", model="conve")
-    config._import("reciprocal_relations_model")
-    config.set("reciprocal_relations_model.base_model.type", "conve")
-    config.set("model", "reciprocal_relations_model")
-    config.set("job.type", "eval")
-    config.set("eval.split", "test")
-    config.set("conve.round_dim", True)
-    config.set("conve.entity_embedder.dim", 32, create=True)
-    config.set("conve.relation_embedder.dim", 32, create=True)
-    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
-    model = KgeModel.create(config, dataset)
-    job = EvaluationJob.create(config, dataset, model=model)
-    job.set_params(model.init_params(jax.random.PRNGKey(1)),
-                   model.init_state())
-    trace = job.run()
-    assert "mean_reciprocal_rank_filtered" in trace
+@pytest.mark.parametrize("base", ["conve", "transformer"])
+def test_fused_matches_generic_reciprocal_feature_scorers(base):
+    """ConvE/Transformer expose an sp_-only dot form (features . raw
+    candidate rows, bias in dim 0 for ConvE), so their standard
+    reciprocal-wrapped configuration runs fused under auto and must
+    reproduce the generic metrics. Their BARE models must NOT take the
+    fused path (no _po dot form)."""
+    traces = {}
+    for impl in ("generic", "fused"):
+        config = create_config("dataset_test", model=base)
+        config._import("reciprocal_relations_model")
+        config.set("reciprocal_relations_model.base_model.type", base)
+        config.set("model", "reciprocal_relations_model")
+        config.set("job.type", "eval")
+        config.set("eval.split", "test")
+        if base == "conve":
+            config.set("conve.round_dim", True)
+            config.set("conve.entity_embedder.dim", 32, create=True)
+            config.set("conve.relation_embedder.dim", 32, create=True)
+        else:
+            config.set("transformer.entity_embedder.dim", 16, create=True)
+            config.set("transformer.relation_embedder.dim", 16, create=True)
+        config.set("entity_ranking.chunk_size", 3)
+        config.set("entity_ranking.implementation", impl)
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        model = KgeModel.create(config, dataset)
+        if impl == "fused":
+            assert model.supports_dot_ranking()
+            assert not model._base_model.supports_dot_ranking()
+        job = EvaluationJob.create(config, dataset, model=model)
+        job.set_params(model.init_params(jax.random.PRNGKey(1)),
+                       model.init_state())
+        traces[impl] = job.run()
+    for key in traces["generic"]:
+        if key.startswith(("mean_", "hits_")):
+            np.testing.assert_allclose(
+                traces["generic"][key], traces["fused"][key],
+                rtol=1e-6, err_msg=key,
+            )
 
 
 def test_metric_expr_computes_missing_metric():
