@@ -64,11 +64,9 @@ def main(num_entities=4_818_679, dim=128):
     eval_job = EvaluationJob.create(config, dataset, model=job.model)
     eval_job.set_params(job.params, job.model_state)
     eval_job.verbose = False
-    eval_job.triples = dataset._triples["test"][:1024]
     eval_job._is_prepared = False
-    eval_job._evaluate()  # compile
-    n_eval = 2048
-    eval_job.triples = dataset._triples["test"][:n_eval]
+    eval_job._evaluate()  # compile (also resets triples via _prepare)
+    n_eval = len(eval_job.triples)
     t0 = time.perf_counter()
     eval_job._evaluate()
     eval_qps = n_eval / (time.perf_counter() - t0)

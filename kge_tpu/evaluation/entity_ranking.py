@@ -147,11 +147,34 @@ class EntityRankingJob(EvaluationJob):
 
     # ------------------------------------------------------------------ compiled fns
 
+    def _vocab_sharded_params(self) -> bool:
+        """True when the entity table is sharded over a >1 'model' mesh
+        axis. The fused path's pallas_call has no SPMD partitioning rule
+        and would force the partitioner to replicate (all-gather) the
+        whole table per batch; the generic chunked path shards cleanly
+        (score matmul + psum-able counts), so auto prefers it there."""
+        try:
+            params, _ = self._current_params()
+            sharding = params["entity_embedder"]["weights"].sharding
+            mesh = getattr(sharding, "mesh", None)
+            spec = getattr(sharding, "spec", None)
+            if mesh is None or spec is None:
+                return False
+            return any(
+                axis == "model" and mesh.shape.get("model", 1) > 1
+                for axis in jax.tree_util.tree_leaves(tuple(spec))
+            )
+        except Exception:
+            return False
+
     def _use_fused(self) -> bool:
-        return self.implementation == "fused" or (
+        if self.implementation == "fused":
+            return True
+        return (
             self.implementation == "auto"
             and hasattr(self.model, "supports_dot_ranking")
             and self.model.supports_dot_ranking()
+            and not self._vocab_sharded_params()
         )
 
     def _score_precision(self) -> str:
@@ -296,7 +319,7 @@ class EntityRankingJob(EvaluationJob):
 
     # -------------------------------------------------------------- fused path
 
-    def _build_fused_batch_fn(self, num_rankings: int, chunk_size: int):
+    def _build_fused_batch_fn(self, num_rankings: int):
         """ONE compiled program per batch: dot-form queries, one fused
         Pallas rank-count call per side over the full candidate set
         (the kernel grid streams candidate tiles — entity_ranking.
@@ -516,7 +539,7 @@ class EntityRankingJob(EvaluationJob):
             if use_fused:
                 if self._fused_query_fn is None:
                     self._fused_query_fn = self._build_fused_batch_fn(
-                        len(rankings), chunk_size
+                        len(rankings)
                     )
                 totals_dev = self._fused_query_fn(
                     params, model_state, s, p, o,

@@ -46,12 +46,6 @@ class ComplExScorer(RelationalScorer):
 
     supports_dot_form = True
 
-    @staticmethod
-    def _blocks(p_emb):
-        half = p_emb.shape[1] // 2
-        p_re, p_im = p_emb[:, :half], p_emb[:, half:]
-        return jnp.concatenate([p_re, p_emb, -p_im], axis=1)
-
     def query_vec(self, params, a_emb, p_emb, combine, ctx):
         # fold the complex product into the QUERY so candidates stay the
         # RAW [C, d] embedding rows: score = Re((s.p) conj(e)) =

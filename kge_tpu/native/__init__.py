@@ -46,10 +46,16 @@ def _lib():
                 built = False
         if not built:
             tmp = so + f".tmp-{os.getpid()}"
-            r = subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
-                capture_output=True, text=True,
-            )
+            try:
+                r = subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
+                    capture_output=True, text=True,
+                )
+            except OSError as e:
+                raise RuntimeError(
+                    f"native build unavailable (no g++: {e}); callers "
+                    "fall back to numpy"
+                ) from e
             if r.returncode != 0:
                 raise RuntimeError(
                     f"native build failed: {r.stderr[-1000:]}"

@@ -679,10 +679,13 @@ class TrainingJob(TrainingOrEvaluationJob):
         self.model.save_to(checkpoint, params_np, state_np)
         self.config.save_to(checkpoint)
         self.dataset.save_to(checkpoint)
-        save_checkpoint(filename, checkpoint)
-        # non-primary processes wait here so a subsequent resume/read of
-        # the shared-filesystem checkpoint cannot race the write
-        dist.barrier(f"save:{os.path.basename(filename)}")
+        try:
+            save_checkpoint(filename, checkpoint)
+        finally:
+            # ALWAYS reach the barrier the non-primary processes wait on
+            # (a failed write would otherwise deadlock them with no
+            # error surfaced), then let the exception propagate
+            dist.barrier(f"save:{os.path.basename(filename)}")
 
     def _load(self, checkpoint: Dict[str, Any]):
         if checkpoint["type"] != "train":

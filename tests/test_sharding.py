@@ -161,3 +161,31 @@ def test_sharded_gnn_training_matches_single_device():
         job = TrainingJob.create(config, dataset)
         losses.append(job.run()["avg_loss"])
     assert abs(losses[0] - losses[1]) < 1e-4, losses
+
+
+def test_fused_auto_prefers_generic_under_vocab_sharding():
+    """Under a >1 'model' mesh axis the auto implementation must pick
+    the generic chunked path: the fused pallas_call has no SPMD
+    partitioning rule and would force replication (all-gather) of the
+    whole vocab-sharded table per batch."""
+    from kge_tpu.evaluation.eval import EvaluationJob
+    from kge_tpu.train.train import TrainingJob
+    from kge_tpu import Dataset
+    from tests.util import create_config, get_dataset_folder
+
+    config = create_config("dataset_test", model="complex")
+    config.set("train.type", "1vsAll")
+    config.set("lookup_embedder.dim", 16)
+    config.set("train.batch_size", 4)
+    config.set("train.optimizer.default.args.lr", 0.1, create=True)
+    config.set("tpu.mesh.data", 2)
+    config.set("tpu.mesh.model", 2)
+    config.set("valid.every", 0)
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    job = TrainingJob.create(config, dataset)
+    eval_job = job.valid_job
+    assert eval_job._vocab_sharded_params()
+    assert not eval_job._use_fused()
+    # explicit fused remains the user's choice
+    eval_job.implementation = "fused"
+    assert eval_job._use_fused()
