@@ -125,7 +125,7 @@ class EntityRankingJob(EvaluationJob):
             po_rows.append(r)
             po_vals.append(v)
 
-        def pad(rows_list, vals_list):
+        def pad(rows_list, vals_list, self_vals):
             rows = np.concatenate(rows_list) if rows_list else np.zeros(0, int)
             vals = np.concatenate(vals_list) if vals_list else np.zeros(0, int)
             # dedupe (row, val) pairs: splits can repeat answers, and the
@@ -135,6 +135,12 @@ class EntityRankingJob(EvaluationJob):
                 enc = np.unique(enc)
                 rows = (enc // (2 ** 31)).astype(np.int64)
                 vals = (enc % (2 ** 31)).astype(np.int64)
+                # remove the current example itself: the reference zeroes
+                # it out of the label tensor before filtering
+                # (eval_entity_ranking.py:287-290), so the true answer
+                # keeps its finite score and still counts in the tie set
+                keep = vals != self_vals[rows]
+                rows, vals = rows[keep], vals[keep]
             counts = np.bincount(rows, minlength=B).astype(np.int64)
             L = _bucket(int(counts.max()) if len(counts) else 1)
             out = np.full((B, L), 2 ** 30, dtype=np.int32)
@@ -143,29 +149,35 @@ class EntityRankingJob(EvaluationJob):
             out[rows, col] = vals
             return out
 
-        return pad(sp_rows, sp_vals), pad(po_rows, po_vals)
+        return (
+            pad(sp_rows, sp_vals, triples[:, 2].astype(np.int64)),
+            pad(po_rows, po_vals, triples[:, 0].astype(np.int64)),
+        )
 
     # ------------------------------------------------------------------ compiled fns
 
-    def _vocab_sharded_params(self) -> bool:
-        """True when the entity table is sharded over a >1 'model' mesh
-        axis. The fused path's pallas_call has no SPMD partitioning rule
-        and would force the partitioner to replicate (all-gather) the
-        whole table per batch; the generic chunked path shards cleanly
-        (score matmul + psum-able counts), so auto prefers it there."""
+    def _model_mesh(self):
+        """The mesh when the entity table is sharded over a >1 'model'
+        axis, else None. The fused path wraps its rank-count kernel in
+        ``jax.shard_map`` over this mesh: each shard streams its local
+        [V/shard, D] table block through the kernel and the per-shard
+        greater/tie counts psum over 'model' (counts are additive over
+        candidate subsets), so the fast path and the sharded path are the
+        same path (SURVEY.md section 2.5 sharded rank-counting)."""
         try:
             params, _ = self._current_params()
             sharding = params["entity_embedder"]["weights"].sharding
             mesh = getattr(sharding, "mesh", None)
             spec = getattr(sharding, "spec", None)
             if mesh is None or spec is None:
-                return False
-            return any(
+                return None
+            vocab_sharded = any(
                 axis == "model" and mesh.shape.get("model", 1) > 1
                 for axis in jax.tree_util.tree_leaves(tuple(spec))
             )
+            return mesh if vocab_sharded else None
         except Exception:
-            return False
+            return None
 
     def _use_fused(self) -> bool:
         if self.implementation == "fused":
@@ -174,7 +186,6 @@ class EntityRankingJob(EvaluationJob):
             self.implementation == "auto"
             and hasattr(self.model, "supports_dot_ranking")
             and self.model.supports_dot_ranking()
-            and not self._vocab_sharded_params()
         )
 
     def _score_precision(self) -> str:
@@ -338,11 +349,47 @@ class EntityRankingJob(EvaluationJob):
         atol, rtol = self.tie_atol, self.tie_rtol
         num_entities = self.dataset.num_entities()
         interpret = jax.default_backend() == "cpu"
+        mesh = self._model_mesh()
 
         monotone = (
             getattr(model, "dot_score_space", lambda: "native")()
             == "monotone"
         )
+
+        def counts(q, cand, true, valid):
+            """rank_counts, shard_mapped over the mesh when the candidate
+            table is vocab-sharded: queries shard over 'data', candidates
+            stay in place over 'model', per-shard counts psum."""
+            if mesh is None:
+                return rank_counts(q, cand, true, valid, atol=atol,
+                                   rtol=rtol, interpret=interpret)
+            from jax.sharding import PartitionSpec as P
+
+            data = mesh.shape.get("data", 1)
+            B = q.shape[0]
+            Bp = -(-B // data) * data
+            # pad the batch to divide 'data'; padded rows rank against
+            # true=+inf (count 0 everywhere) and are sliced off below
+            qp = jnp.zeros((Bp, q.shape[1]), q.dtype).at[:B].set(q)
+            tp = jnp.full((Bp,), jnp.inf, jnp.float32).at[:B].set(true)
+
+            def local(qs, cand_local, ts, valid_local):
+                r, t = rank_counts(qs, cand_local, ts, valid_local,
+                                   atol=atol, rtol=rtol,
+                                   interpret=interpret)
+                return (jax.lax.psum(r, "model"),
+                        jax.lax.psum(t, "model"))
+
+            r, t = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P("data", None), P("model", None), P("data"),
+                          P("model")),
+                out_specs=(P("data"), P("data")),
+                # pallas_call's out_shape carries no varying-mesh-axes
+                # annotation, so the vma check cannot see through it
+                check_vma=False,
+            )(qp, cand, tp, valid)
+            return r[:B], t[:B]
 
         def fn(params, model_state, s, p, o, coords_sp, coords_po,
                o_true, s_true):
@@ -386,12 +433,8 @@ class EntityRankingJob(EvaluationJob):
                 valid = (
                     jnp.arange(C, dtype=jnp.int32) < num_entities
                 ).astype(jnp.float32)
-                r0, t0 = rank_counts(q_sp, cand_sp, o_true, valid,
-                                     atol=atol, rtol=rtol,
-                                     interpret=interpret)
-                r1, t1 = rank_counts(q_po, cand_po, s_true, valid,
-                                     atol=atol, rtol=rtol,
-                                     interpret=interpret)
+                r0, t0 = counts(q_sp, cand_sp, o_true, valid)
+                r1, t1 = counts(q_po, cand_po, s_true, valid)
                 raw = jnp.stack([r0, t0, r1, t1]).astype(jnp.int32)
 
                 def coord_counts(q, coords, true, side):

@@ -133,6 +133,11 @@ class Job(Configurable):
             job_id=self.job_id, job=job_type,
             **({"parent_job_id": self.parent_job.job_id}
                if self.parent_job else {}),
+            # resume lineage: lets `kge dump trace` stitch the epoch
+            # series of a resumed job chain back together (reference
+            # kge/job/job.py trace fields + kge/job/trace.py:109-236)
+            **({"resumed_from_job_id": self.resumed_from_job_id}
+               if getattr(self, "resumed_from_job_id", None) else {}),
             **kwargs,
         )
 

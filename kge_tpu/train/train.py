@@ -547,7 +547,10 @@ class TrainingJob(TrainingOrEvaluationJob):
                 )
                 (self.params, self.opt_state, self.model_state,
                  metrics) = out
-                batch_metrics.append((k, metrics))
+                sizes = np.asarray(
+                    [float(b["size"]) for b in buffered], dtype=np.float64
+                )
+                batch_metrics.append((sizes, metrics))
                 return
             for i, batch_np in enumerate(buffered):
                 t0 = time.time()
@@ -560,7 +563,10 @@ class TrainingJob(TrainingOrEvaluationJob):
                 )
                 (self.params, self.opt_state, self.model_state,
                  metrics) = out
-                batch_metrics.append((1, metrics))
+                batch_metrics.append((
+                    np.asarray([float(batch_np["size"])], dtype=np.float64),
+                    metrics,
+                ))
 
         def signature(batch_np):
             return tuple(
@@ -603,10 +609,22 @@ class TrainingJob(TrainingOrEvaluationJob):
         from kge_tpu.parallel.distributed import fetch_global
 
         batch_metrics = fetch_global(batch_metrics)
+        # avg_* epoch metrics are example-weighted batch averages:
+        # sum(batch_avg * true_batch_size) / num_examples, matching the
+        # reference's aggregation (kge/job/train.py run_epoch) so a tail
+        # batch shorter than train.batch_size does not skew the epoch
+        # average
         sums: Dict[str, float] = {}
-        for k, metrics in batch_metrics:
+        total_size = 0.0
+        for sizes, metrics in batch_metrics:
+            total_size += float(np.sum(sizes))
             for key, v in metrics.items():
-                sums[key] = sums.get(key, 0.0) + float(np.sum(v))
+                arr = np.asarray(v, dtype=np.float64).reshape(-1)
+                if arr.size == sizes.size:
+                    weighted = float(np.sum(arr * sizes))
+                else:  # scalar metric for a grouped dispatch
+                    weighted = float(np.sum(arr)) * float(np.sum(sizes))
+                sums[key] = sums.get(key, 0.0) + weighted
         epoch_time = time.time() - epoch_start
 
         if self.abort_on_nan and not math.isfinite(sums.get("avg_cost", 0.0)):
@@ -622,7 +640,7 @@ class TrainingJob(TrainingOrEvaluationJob):
             epoch_time=epoch_time,
             prepare_time=prepare_time,
             event="epoch_completed",
-            **{k: v / max(num_batches, 1) for k, v in sums.items()},
+            **{k: v / max(total_size, 1.0) for k, v in sums.items()},
         )
         self.current_trace["epoch"] = trace_entry
         for f in self.post_epoch_hooks:
@@ -635,10 +653,10 @@ class TrainingJob(TrainingOrEvaluationJob):
             self.config.log(line)
         if self.config.get("train.trace_level") == "batch":
             batch_index = 0
-            for k, metrics in batch_metrics:
+            for sizes, metrics in batch_metrics:
                 # grouped dispatches return stacked [k] metric arrays;
                 # expand them back into one trace entry per real batch
-                for j in range(k):
+                for j in range(sizes.size):
                     self.trace(
                         type=self.type_str, scope="batch", epoch=self.epoch,
                         batch=batch_index,

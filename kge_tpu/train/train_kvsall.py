@@ -149,12 +149,18 @@ class TrainingJobKvsAll(TrainingJob):
         labels = jnp.zeros(scores.shape, dtype=scores.dtype)
         labels = labels.at[
             jnp.arange(rows)[:, None], coords
-        ].set(1.0, mode="drop")
+        ].add(1.0, mode="drop")
+        # ^ add, not set: a triple duplicated in the train split weights its
+        # label by its multiplicity, matching the reference's uncoalesced
+        # sparse label tensor (train_KvsAll.py:242-247 summing duplicate
+        # coordinates on densification)
         if self.label_smoothing > 0 and smooth:
-            # ConvE-style smoothing over the entity axis
+            # ConvE-style smoothing over the entity axis; the reference's
+            # additive term is literally 1/num_entities, NOT the
+            # textbook eps/num_entities (train_KvsAll.py:263-266)
             labels = (
                 (1.0 - self.label_smoothing) * labels
-                + self.label_smoothing / self.dataset.num_entities()
+                + 1.0 / self.dataset.num_entities()
             )
         return self.loss(scores, labels, row_weights=weights) / size
 

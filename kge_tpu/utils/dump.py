@@ -31,7 +31,12 @@ def add_dump_parsers(parser):
     sub.required = True
 
     p = sub.add_parser("trace", help="Dump trace to CSV/YAML")
-    p.add_argument("source", type=str, help="job folder or trace file")
+    p.add_argument("source", type=str,
+                   help="job folder, checkpoint file, or trace file")
+    p.add_argument("--job-id", type=str, default=None,
+                   help="dump the resumed-job chain ending at this job "
+                        "(default: the job of the folder's last "
+                        "checkpoint, else the last train entry)")
     p.add_argument("--train", action="store_true")
     p.add_argument("--valid", action="store_true")
     p.add_argument("--test", action="store_true")
@@ -103,63 +108,98 @@ def read_trace(trace_file: str, filters: Optional[Dict[str, Any]] = None
     return entries
 
 
+def _last_numbered_checkpoint(folder: str) -> str:
+    import glob as glob_module
+    numbered = sorted(
+        glob_module.glob(os.path.join(folder, "checkpoint_*.pt"))
+    )
+    numbered = [p for p in numbered if
+                os.path.basename(p)[11:-3].isdigit()]
+    return numbered[-1] if numbered else ""
+
+
 def dump_trace(args):
-    trace_file = _resolve_trace_file(args.source)
-    entries = read_trace(trace_file)
+    from kge_tpu.utils.trace import Trace
 
-    # scope filtering (default: epoch-level train + eval entries)
-    wanted_jobs = set()
-    if args.train:
-        wanted_jobs.add("train")
-    if args.valid or args.test:
-        wanted_jobs.add("eval")
-    if args.search:
-        wanted_jobs.add("search")
-    if not wanted_jobs:
-        wanted_jobs = {"train", "eval", "search"}
-    scopes = {"epoch", "train", "search"}
-    if args.example:
-        scopes.add("example")
-    if args.batch:
-        scopes.add("batch")
+    # resolve the source into (trace file, job folder, explicit checkpoint)
+    checkpoint_path = None
+    source = args.source
+    if os.path.isfile(source) and source.endswith(".pt"):
+        checkpoint_path = source
+        folder = os.path.dirname(os.path.abspath(source))
+        trace_file = os.path.join(folder, "trace.yaml")
+        if not os.path.isfile(trace_file):
+            raise FileNotFoundError(f"no trace found at {folder}")
+    else:
+        trace_file = _resolve_trace_file(source)
+        folder = source if os.path.isdir(source) else \
+            os.path.dirname(os.path.abspath(source))
 
+    # determine the chain-terminating job id: explicit --job-id beats the
+    # checkpoint's job_id beats the trace's last train entry (reference:
+    # kge/util/dump.py:313-366)
+    job_id = getattr(args, "job_id", None)
     max_epoch = args.max_epoch
     if getattr(args, "checkpoint", False) or getattr(args, "truncate", False):
         # cap at the epoch recorded in the folder's checkpoint (last for
-        # --checkpoint, best for --truncate), reference: dump.py epoch
-        # truncation options
-        folder = args.source if os.path.isdir(args.source) else \
-            os.path.dirname(os.path.abspath(args.source))
-        if args.truncate:
-            path = os.path.join(folder, "checkpoint_best.pt")
-        else:
-            import glob as glob_module
-            numbered = sorted(
-                glob_module.glob(os.path.join(folder, "checkpoint_*.pt"))
-            )
-            numbered = [p for p in numbered if
-                        os.path.basename(p)[11:-3].isdigit()]
-            path = numbered[-1] if numbered else ""
+        # --checkpoint, best for --truncate)
+        path = checkpoint_path or (
+            os.path.join(folder, "checkpoint_best.pt") if args.truncate
+            else _last_numbered_checkpoint(folder)
+        )
         if not path or not os.path.isfile(path):
             raise SystemExit(f"no suitable checkpoint found in {folder}")
-        cap = int(load_checkpoint(path).get("epoch", 0))
+        checkpoint = load_checkpoint(path)
+        cap = int(checkpoint.get("epoch", 0))
         max_epoch = cap if max_epoch is None else min(max_epoch, cap)
+        job_id = job_id or checkpoint.get("job_id")
+    elif checkpoint_path:
+        checkpoint = load_checkpoint(checkpoint_path)
+        job_id = job_id or checkpoint.get("job_id")
+    elif job_id is None and os.path.isdir(folder):
+        # a job folder with checkpoints: dump the lineage of the last one
+        path = _last_numbered_checkpoint(folder)
+        if path:
+            job_id = load_checkpoint(path).get("job_id")
 
-    selected = []
-    for e in entries:
-        if e.get("job") not in wanted_jobs:
-            continue
-        if e.get("scope") not in scopes:
-            continue
-        if max_epoch is not None and (e.get("epoch") or 0) > max_epoch:
-            continue
-        if args.valid and e.get("job") == "eval" and e.get("split") not in (
-            "valid", None
-        ):
-            continue
-        if args.test and e.get("job") == "eval" and e.get("split") != "test":
-            continue
-        selected.append(e)
+    entry_type_specified = args.train or args.valid or args.test or args.search
+    want_train = args.train or not entry_type_specified
+    want_valid = args.valid or not entry_type_specified
+    want_test = args.test or not entry_type_specified
+
+    selected: List[Dict[str, Any]] = []
+    if not args.search:
+        # training-chain extraction: walk resumed_from_job_id backwards,
+        # drop each predecessor's epochs that its successor re-trained
+        chain, job_epochs = Trace.grep_training_trace_entries(
+            trace_file, train=want_train, valid=want_valid, test=want_test,
+            example=args.example, batch=args.batch, job_id=job_id,
+            epoch_of_last=max_epoch,
+        )
+        for e in chain:
+            if e.get("job") == "train":
+                cap = job_epochs.get(e.get("job_id"), float("inf"))
+                if (e.get("epoch") or 0) > cap:
+                    continue
+            if max_epoch is not None and (e.get("epoch") or 0) > max_epoch:
+                continue
+            selected.append(e)
+    if not selected and (args.search or not entry_type_specified):
+        # search-job folder: per-trial summary entries (reference
+        # fallback, kge/util/dump.py:370-376)
+        scopes = {"epoch", "train", "search"}
+        if args.example:
+            scopes.add("example")
+        if args.batch:
+            scopes.add("batch")
+        selected = [
+            e for e in read_trace(trace_file)
+            if e.get("job") in {"train", "eval", "search"}
+            and e.get("scope") in scopes
+            and (max_epoch is None or (e.get("epoch") or 0) <= max_epoch)
+        ]
+    if not selected:
+        raise SystemExit("no relevant trace entries found")
 
     if getattr(args, "list_keys", False):
         all_keys = set()

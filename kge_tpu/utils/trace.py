@@ -45,27 +45,84 @@ class Trace:
         return [e for e in self.entries if predicate(e)]
 
     @staticmethod
-    def grep_training_trace_entries(tracefile: str, job, scope,
-                                    job_id=None, **kwargs):
-        """Job-level entries for (train, epoch) etc., following resumed-job
-        chains backwards via resumed_from_job_id (reference:
-        kge/job/trace.py:109-236)."""
-        entries = Trace.grep_entries(
-            tracefile, [f"job: {job}", f"scope: {scope}"]
-        )
-        if job_id:
-            # walk the chain of resumed jobs backwards
-            keep, current = [], job_id
-            while current:
-                matching = [e for e in entries if e.get("job_id") == current]
-                keep = matching + keep
-                resumed = {
-                    e.get("resumed_from_job_id")
-                    for e in matching if e.get("resumed_from_job_id")
-                }
-                current = next(iter(resumed), None)
-            entries = keep
-        return entries
+    def grep_training_trace_entries(tracefile: str, train: bool = True,
+                                    valid: bool = False, test: bool = False,
+                                    example: bool = False,
+                                    batch: bool = False,
+                                    job_id=None, epoch_of_last=None):
+        """Training-chain extraction: follow the resumed-job chain of
+        ``job_id`` backwards via ``resumed_from_job_id``, collecting train
+        entries of every job in the chain plus eval entries attached to
+        them (reference semantics: kge/job/trace.py:109-236).
+
+        Returns (entries, job_epochs). ``job_epochs[jid]`` is the last
+        epoch of ``jid`` that belongs to the stitched series: a resumed
+        job may have re-trained epochs its predecessor also traced, and
+        the predecessor's overlap must be dropped (epochs > the resume
+        point). ``epoch_of_last`` caps the final job's epochs (e.g. the
+        epoch of the checkpoint being dumped)."""
+        if not job_id:
+            raw = Trace.grep_entries(
+                tracefile, ["scope: epoch", "job: train"], raw=True
+            )
+            if not raw:
+                return [], {}
+            job_id = yaml.safe_load(raw[-1]).get("job_id")
+        if not job_id:
+            raise ValueError(
+                "no training entry found in trace; specify job_id"
+            )
+
+        scopes = {"epoch"}
+        if example:
+            scopes.add("example")
+        if batch:
+            scopes.add("batch")
+
+        entries: List[Dict[str, Any]] = []
+        job_epochs: Dict[str, Any] = {}
+        current = job_id
+        added_last = False
+        while current:
+            # eval entries attached to this chain job (child validations
+            # via parent_job_id, standalone evals via resumed_from_job_id)
+            if valid or test:
+                evals = [
+                    e for e in Trace.grep_entries(
+                        tracefile, [" job: eval"]
+                    )
+                    if e.get("scope") in scopes
+                    and (e.get("parent_job_id") == current
+                         or e.get("resumed_from_job_id") == current)
+                    and ((valid and e.get("split") in ("valid", "train"))
+                         or (test and e.get("split") == "test"))
+                ]
+                entries = evals + entries
+            train_entries = [
+                e for e in Trace.grep_entries(
+                    tracefile, [f" job_id: {current}", " job: train"]
+                )
+                if e.get("scope") in scopes
+            ]
+            resumed_id = None
+            if train_entries:
+                if not added_last:
+                    job_epochs[current] = (
+                        epoch_of_last if epoch_of_last is not None
+                        else float("inf")
+                    )
+                    added_last = True
+                resumed_id = train_entries[0].get("resumed_from_job_id")
+                if train:
+                    entries = train_entries + entries
+                if resumed_id:
+                    # the predecessor's epochs beyond the resume point
+                    # were re-trained by this job; drop the overlap
+                    job_epochs[resumed_id] = (
+                        train_entries[0].get("epoch", 1) - 1
+                    )
+            current = resumed_id
+        return entries, job_epochs
 
     @staticmethod
     def grep_entries(tracefile: str, conjunctions: List[str],

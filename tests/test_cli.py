@@ -78,7 +78,27 @@ def test_dump_trace_and_config(trained_folder):
     assert "parameter_names" in r.stdout
 
 
-def test_package_and_load(trained_folder):
+def test_dump_trace_resume_chain(trained_folder):
+    """A resume-of-resume folder dumps ONE continuous epoch series: each
+    resumed job's entries follow its predecessor's, with the
+    predecessor's re-trained epochs dropped (reference
+    kge/util/dump.py:284-595 chain walk)."""
+    # second resume hop (test_resume_continues did the first, to epoch 3)
+    r = _run([
+        "resume", trained_folder,
+        "--job.device", "cpu",
+        "--train.max_epochs", "5",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    r = _run(["dump", "trace", trained_folder, "--train"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    import csv
+    import io
+    rows = list(csv.DictReader(io.StringIO(r.stdout)))
+    train_epochs = [int(row["epoch"]) for row in rows]
+    assert train_epochs == [1, 2, 3, 4, 5], train_epochs
+    # three distinct jobs contributed to the stitched series
+    assert len({row["job_id"] for row in rows}) == 3
     out = os.path.join(trained_folder, "model.pt")
     r = _run([
         "package", os.path.join(trained_folder, "checkpoint_best.pt"),

@@ -135,9 +135,10 @@ def test_fused_matches_generic(model_name):
     traces = {}
     for impl in ("generic", "fused"):
         config, dataset, model, params, job = _setup(model_name=model_name)
-        if model_name == "rotate":
-            # rotate defaults to l_norm 1.0, which has no dot form
-            config.set("rotate.l_norm", 2.0)
+        if model_name in ("rotate", "transe"):
+            # both default to the reference's l_norm 1.0, which has no
+            # dot form; the fused path needs the L2 expansion
+            config.set(f"{model_name}.l_norm", 2.0)
             from kge_tpu import Dataset as _DS
             dataset = _DS.create(config, get_dataset_folder("dataset_test"))
             model = KgeModel.create(config, dataset)

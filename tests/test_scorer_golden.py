@@ -115,5 +115,10 @@ def test_scorer_matches_independent_formula(model_name):
 
     ent = np.asarray(params["entity_embedder"]["weights"])
     rel = np.asarray(params["relation_embedder"]["weights"])
-    golden = GOLDEN[model_name](ent[s], rel[p], ent[o])
+    kwargs = {}
+    if model_name in ("transe", "transh", "rotate"):
+        # golden formula follows the configured norm (default l_norm 1.0,
+        # matching the reference's model yamls)
+        kwargs["norm"] = float(config.get(f"{model_name}.l_norm"))
+    golden = GOLDEN[model_name](ent[s], rel[p], ent[o], **kwargs)
     np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-5)

@@ -163,29 +163,37 @@ def test_sharded_gnn_training_matches_single_device():
     assert abs(losses[0] - losses[1]) < 1e-4, losses
 
 
-def test_fused_auto_prefers_generic_under_vocab_sharding():
-    """Under a >1 'model' mesh axis the auto implementation must pick
-    the generic chunked path: the fused pallas_call has no SPMD
-    partitioning rule and would force replication (all-gather) of the
-    whole vocab-sharded table per batch."""
+def test_fused_eval_under_vocab_sharding_matches_generic():
+    """The fused rank-count path runs UNDER the vocab-sharded mesh (a
+    jax.shard_map streams each shard's local table block through the
+    Pallas kernel, counts psum over 'model') and must agree with the
+    generic chunked path on the same 4x2 mesh, metric for metric."""
     from kge_tpu.evaluation.eval import EvaluationJob
-    from kge_tpu.train.train import TrainingJob
-    from kge_tpu import Dataset
-    from tests.util import create_config, get_dataset_folder
+    from kge_tpu.models import KgeModel
 
-    config = create_config("dataset_test", model="complex")
-    config.set("train.type", "1vsAll")
-    config.set("lookup_embedder.dim", 16)
-    config.set("train.batch_size", 4)
-    config.set("train.optimizer.default.args.lr", 0.1, create=True)
-    config.set("tpu.mesh.data", 2)
-    config.set("tpu.mesh.model", 2)
-    config.set("valid.every", 0)
-    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
-    job = TrainingJob.create(config, dataset)
-    eval_job = job.valid_job
-    assert eval_job._vocab_sharded_params()
-    assert not eval_job._use_fused()
-    # explicit fused remains the user's choice
-    eval_job.implementation = "fused"
-    assert eval_job._use_fused()
+    results = {}
+    for impl in ("generic", "fused"):
+        config = create_config("dataset_test", model="complex")
+        config.set("job.type", "eval")
+        config.set("eval.split", "test")
+        config.set("lookup_embedder.dim", 16)
+        config.set("tpu.mesh.data", 4)
+        config.set("tpu.mesh.model", 2)
+        config.set("entity_ranking.implementation", impl)
+        config.set("entity_ranking.chunk_size", 3)
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        model = KgeModel.create(config, dataset)
+        params = model.init_params(jax.random.PRNGKey(3))
+        m = build_mesh(config)
+        assert m is not None
+        params = jax.device_put(params, params_sharding(m, params))
+        job = EvaluationJob.create(config, dataset, model=model)
+        job.set_params(params, model.init_state())
+        if impl == "fused":
+            assert job._model_mesh() is not None
+            assert job._use_fused()
+        job.verbose = False
+        results[impl] = job._run()
+    for key in ("mean_reciprocal_rank", "mean_reciprocal_rank_filtered",
+                "mean_rank_filtered", "hits_at_1", "hits_at_10_filtered"):
+        assert abs(results["generic"][key] - results["fused"][key]) < 1e-9, key

@@ -41,10 +41,13 @@ def test_grep_entries_and_job_chain(tmp_path):
     entries = Trace.grep_entries(path, ["job: train", "scope: epoch"])
     assert len(entries) == 3
     # resumed-job chain: job b resumed from a -> include a's entries first
-    chain = Trace.grep_training_trace_entries(
-        path, job="train", scope="epoch", job_id="b"
+    chain, job_epochs = Trace.grep_training_trace_entries(
+        path, train=True, job_id="b"
     )
     assert [e["epoch"] for e in chain] == [0, 1, 2]
+    # a's epochs beyond b's resume point (epoch 1 - 1 = 0) are overlap
+    assert job_epochs["a"] == 0
+    assert job_epochs["b"] == float("inf")
 
 
 def test_get_metric():
