@@ -8,14 +8,15 @@ under relation p. Reported metrics are mean_rank / mean_reciprocal_rank
 / hits_at_k, raw and filtered (true pairs of p from the filter splits
 removed).
 
-TPU formulation: ranks are greater/tie counts, never sorts. The E x E
-pair-score matrix for one query is streamed as subject chunks — each
-chunk is one ``score_sp(s_chunk, p)`` call producing a [C, E] block —
-and per-block counts accumulate on device. Filtering subtracts counts
-over the (typically short) true-pair list by scoring those pairs
-directly with ``score_spo``. Cost is O(E) score_sp rows per query;
-intended for analysis on small/medium graphs (the protocol itself is
-quadratic in the entity count).
+TPU formulation: ranks are greater/tie counts, never sorts. Queries are
+processed in BATCHES — one compiled dispatch per batch covers the whole
+E x E pair matrix of every query in it (the subject-chunk loop is a
+``lax.fori_loop`` inside the jitted program, so no per-chunk host round
+trips), filtering subtracts counts over the (typically short) true-pair
+lists in a second batched call, and all device results are fetched once
+at the end (the deferred-fetch discipline of entity ranking). Cost is
+O(E) score_sp rows per query; intended for analysis on small/medium
+graphs (the protocol itself is quadratic in the entity count).
 """
 
 from __future__ import annotations
@@ -56,22 +57,67 @@ class EntityPairRankingJob(EvaluationJob):
 
     # ------------------------------------------------------------------ device fns
 
-    def _build_chunk_fn(self):
+    def _build_batch_fn(self, num_chunks: int, chunk: int):
+        """One dispatch per query batch: fori_loop over subject chunks,
+        each iteration scoring a [Bq*chunk, E] block and accumulating
+        per-query greater/tie counts."""
         model = self.model
+        atol, rtol = self.tie_atol, self.tie_rtol
 
-        def chunk_counts(params, model_state, s_chunk, p, valid, true_score):
-            """Counts over one [C, E] block of the pair-score matrix."""
+        def batch_counts(params, model_state, p_batch, true_scores,
+                         id_padded, valid_padded):
             from kge_tpu.ops.pallas.rank_count import greater_tie_counts
 
             ctx = Ctx(train=False, state=model_state)
-            scores = model.score_sp(params, s_chunk, p, ctx=ctx)
-            g, t = greater_tie_counts(
-                scores, jnp.asarray(true_score), valid[:, None], axis=None,
-                atol=self.tie_atol, rtol=self.tie_rtol,
-            )
-            return g, t
+            bq = p_batch.shape[0]
 
-        return chunk_counts
+            def body(c, acc):
+                g_acc, t_acc = acc
+                s_chunk = jax.lax.dynamic_slice(
+                    id_padded, (c * chunk,), (chunk,)
+                )
+                valid = jax.lax.dynamic_slice(
+                    valid_padded, (c * chunk,), (chunk,)
+                )
+                s_rep = jnp.tile(s_chunk, bq)
+                p_rep = jnp.repeat(p_batch, chunk)
+                scores = model.score_sp(params, s_rep, p_rep, ctx=ctx)
+                scores = scores.reshape(bq, chunk, -1)
+                g, t = greater_tie_counts(
+                    scores, true_scores[:, None, None],
+                    valid[None, :, None], axis=(1, 2),
+                    atol=atol, rtol=rtol,
+                )
+                return g_acc + g, t_acc + t
+
+            init = (jnp.zeros(bq, jnp.int32), jnp.zeros(bq, jnp.int32))
+            return jax.lax.fori_loop(0, num_chunks, body, init)
+
+        return jax.jit(batch_counts)
+
+    def _build_filter_fn(self):
+        """Counts over each query's true-pair list ([Bq, L] coordinate
+        arrays), scored directly with score_spo."""
+        model = self.model
+        atol, rtol = self.tie_atol, self.tie_rtol
+
+        def filter_counts(params, model_state, s_ids, p_batch, o_ids,
+                          fvalid, true_scores):
+            from kge_tpu.ops.pallas.rank_count import greater_tie_counts
+
+            ctx = Ctx(train=False, state=model_state)
+            bq, L = s_ids.shape
+            p_rep = jnp.repeat(p_batch, L)
+            scores = model.score_spo(
+                params, s_ids.reshape(-1), p_rep, o_ids.reshape(-1),
+                direction="o", ctx=ctx,
+            ).reshape(bq, L)
+            return greater_tie_counts(
+                scores, true_scores[:, None], fvalid, axis=1,
+                atol=atol, rtol=rtol,
+            )
+
+        return jax.jit(filter_counts)
 
     # ------------------------------------------------------------------ evaluate
 
@@ -83,6 +129,11 @@ class EntityPairRankingJob(EvaluationJob):
         chunk = self.chunk_size if self.chunk_size > 0 else E
         num_chunks = math.ceil(E / chunk)
         model = self.model
+
+        # query batch size: honor eval.batch_size but keep each
+        # dispatch's [Bq, chunk, E] score block under ~256 MiB f32
+        bq = max(1, min(int(self.batch_size),
+                        (64 << 20) // max(chunk * E, 1)))
 
         # true pairs per relation over the filter splits (host, encoded)
         pairs_by_p: Dict[int, set] = {}
@@ -100,75 +151,79 @@ class EntityPairRankingJob(EvaluationJob):
         for f in self.pre_epoch_hooks:
             f(self)
 
-        chunk_fn = jax.jit(self._build_chunk_fn())
-
+        batch_fn = self._build_batch_fn(num_chunks, chunk)
+        filter_fn = self._build_filter_fn()
         spo_fn = jax.jit(
             lambda params, state, s, p, o: model.score_spo(
                 params, s, p, o, direction="o", ctx=Ctx(state=state)
             )
         )
 
-        ranks: List[Dict[str, int]] = []
         entity_ids = np.arange(E, dtype=np.int32)
         pad = (-E) % chunk
-        id_padded = np.concatenate([entity_ids,
-                                    np.zeros(pad, np.int32)])
-        valid_padded = np.concatenate([np.ones(E, bool),
-                                       np.zeros(pad, bool)])
+        id_padded = jnp.asarray(np.concatenate(
+            [entity_ids, np.zeros(pad, np.int32)]
+        ))
+        valid_padded = jnp.asarray(np.concatenate(
+            [np.ones(E, bool), np.zeros(pad, bool)]
+        ))
 
-        for s, p, o in np.asarray(self.triples):
-            s, p, o = int(s), int(p), int(o)
-            true_score = spo_fn(
-                params, model_state,
-                jnp.asarray([s], jnp.int32), jnp.asarray([p], jnp.int32),
-                jnp.asarray([o], jnp.int32),
-            )[0]
-            greater = jnp.int32(0)
-            ties = jnp.int32(0)
-            for c in range(num_chunks):
-                s_chunk = jnp.asarray(id_padded[c * chunk:(c + 1) * chunk])
-                valid = jnp.asarray(valid_padded[c * chunk:(c + 1) * chunk])
-                p_vec = jnp.full(s_chunk.shape, p, jnp.int32)
-                g, t = chunk_fn(params, model_state, s_chunk, p_vec, valid,
-                                true_score)
-                greater = greater + g
-                ties = ties + t
+        triples = np.asarray(self.triples)
 
-            # filtered: subtract counts over the true pairs of p (minus
-            # the query pair itself, which contributes to the tie count)
-            enc = sorted(pairs_by_p.get(p, set()) - {s * E + o})
-            fg = jnp.int32(0)
-            ft = jnp.int32(0)
-            if enc:
-                L = _bucket(len(enc))
-                s_ids = np.zeros(L, np.int32)
-                o_ids = np.zeros(L, np.int32)
-                fvalid = np.zeros(L, bool)
-                s_ids[: len(enc)] = [e // E for e in enc]
-                o_ids[: len(enc)] = [e % E for e in enc]
-                fvalid[: len(enc)] = True
-                p_vec = jnp.full((L,), p, jnp.int32)
-                from kge_tpu.ops.pallas.rank_count import greater_tie_counts
+        # ---------------- dispatch phase: no device->host fetches ----------------
+        pending = []
+        for start in range(0, len(triples), bq):
+            batch = triples[start:start + bq]
+            n = len(batch)
+            s_b = np.zeros(bq, np.int32)
+            p_b = np.zeros(bq, np.int32)
+            o_b = np.zeros(bq, np.int32)
+            s_b[:n], p_b[:n], o_b[:n] = batch[:, 0], batch[:, 1], batch[:, 2]
+            true_scores = spo_fn(
+                params, model_state, jnp.asarray(s_b), jnp.asarray(p_b),
+                jnp.asarray(o_b),
+            )
+            # padded query rows rank against true=+inf -> zero counts
+            if n < bq:
+                true_scores = true_scores.at[n:].set(jnp.inf)
+            g, t = batch_fn(params, model_state, jnp.asarray(p_b),
+                            true_scores, id_padded, valid_padded)
 
-                fscores = spo_fn(params, model_state,
-                                 jnp.asarray(s_ids), p_vec,
-                                 jnp.asarray(o_ids))
-                fg, ft = greater_tie_counts(
-                    fscores, true_score, jnp.asarray(fvalid), axis=None,
-                    atol=self.tie_atol, rtol=self.tie_rtol,
-                )
+            # filtered: per-query true pairs of p minus the query pair
+            encs = [
+                sorted(pairs_by_p.get(int(p), set()) - {int(s) * E + int(o)})
+                for s, p, o in batch
+            ]
+            L = _bucket(max((len(e) for e in encs), default=0) or 1)
+            s_ids = np.zeros((bq, L), np.int32)
+            o_ids = np.zeros((bq, L), np.int32)
+            fvalid = np.zeros((bq, L), bool)
+            for i, enc in enumerate(encs):
+                s_ids[i, : len(enc)] = [e // E for e in enc]
+                o_ids[i, : len(enc)] = [e % E for e in enc]
+                fvalid[i, : len(enc)] = True
+            fg, ft = filter_fn(
+                params, model_state, jnp.asarray(s_ids), jnp.asarray(p_b),
+                jnp.asarray(o_ids), jnp.asarray(fvalid), true_scores,
+            )
+            pending.append((n, g, t, fg, ft))
 
-            g_raw, t_raw = int(greater), int(ties)
-            # clamp: the chunked score_sp path and the score_spo path can
-            # disagree within float noise (the discrepancy entity ranking
-            # guards with its consistency check); never let the filtered
-            # counts go below the true pair itself
-            g_f = max(g_raw - int(fg), 0)
-            t_f = max(t_raw - int(ft), 1)
-            ranks.append({
-                "rank": self._final_rank(g_raw, t_raw),
-                "rank_filtered": self._final_rank(g_f, t_f),
-            })
+        # ---------------- one bulk fetch, then host post-processing ----------------
+        pending = jax.device_get(pending)
+        ranks: List[Dict[str, int]] = []
+        for n, g, t, fg, ft in pending:
+            for i in range(n):
+                g_raw, t_raw = int(g[i]), int(t[i])
+                # clamp: the chunked score_sp path and the score_spo path
+                # can disagree within float noise (the discrepancy entity
+                # ranking guards with its consistency check); never let
+                # the filtered counts go below the true pair itself
+                g_f = max(g_raw - int(fg[i]), 0)
+                t_f = max(t_raw - int(ft[i]), 1)
+                ranks.append({
+                    "rank": self._final_rank(g_raw, t_raw),
+                    "rank_filtered": self._final_rank(g_f, t_f),
+                })
 
         metrics: Dict[str, float] = {}
         for suffix, key in (("", "rank"), ("_filtered", "rank_filtered")):

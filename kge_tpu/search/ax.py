@@ -37,6 +37,21 @@ class AxSearchJob(AutoSearchJob):
         self.ax_client = None
         self._sobol = None
         self._generated = 0
+        # linear parameter constraints ("2*a + b <= 5", "a <= b"): passed
+        # through to ax-platform, ENFORCED by rejection/masking in the
+        # native fallback (reference behavior via Ax,
+        # kge/job/search_ax.py:32-56)
+        self._constraints = self._parse_constraints(
+            self.config.get("ax_search.parameter_constraints")
+        )
+        known = {p["name"] for p in self.search_space}
+        for coeffs, _, _ in self._constraints:
+            unknown = set(coeffs) - known
+            if unknown:
+                raise ValueError(
+                    f"parameter_constraints reference unknown "
+                    f"parameters {sorted(unknown)}"
+                )
         if self.num_shards > 1 and self._num_sobol() < self.num_trials:
             raise ValueError(
                 "search.num_shards > 1 requires a pure Sobol schedule "
@@ -93,6 +108,77 @@ class AxSearchJob(AutoSearchJob):
                 d=max(len(dims), 1), scramble=True, seed=self.sobol_seed
             )
             self._sobol_dims = dims
+
+    # ------------------------------------------------------------------ constraints
+
+    @staticmethod
+    def _parse_constraints(constraints) -> List[Tuple[Dict[str, float], str,
+                                                      float]]:
+        """Parse Ax-style linear constraint strings into
+        (coefficients, op, bound) triples. Supported forms:
+        "a <= 5", "2*a + b <= 5", "a - b >= 0", "a <= b"."""
+
+        def parse_expr(expr: str) -> Tuple[Dict[str, float], float]:
+            coeffs: Dict[str, float] = {}
+            const = 0.0
+            for term in expr.replace("-", "+-").split("+"):
+                term = term.strip()
+                if not term:
+                    continue
+                sign = 1.0
+                if term.startswith("-"):
+                    sign, term = -1.0, term[1:].strip()
+                if "*" in term:
+                    coef_s, name = term.split("*", 1)
+                    coeffs[name.strip()] = (
+                        coeffs.get(name.strip(), 0.0) + sign * float(coef_s)
+                    )
+                else:
+                    try:
+                        const += sign * float(term)
+                    except ValueError:
+                        coeffs[term] = coeffs.get(term, 0.0) + sign
+            return coeffs, const
+
+        parsed = []
+        for c in constraints or []:
+            op = "<=" if "<=" in c else ">=" if ">=" in c else None
+            if op is None:
+                raise ValueError(f"unsupported constraint {c!r} (need "
+                                 f"'<=' or '>=')")
+            lhs_s, rhs_s = c.split(op, 1)
+            lc, lconst = parse_expr(lhs_s)
+            rc, rconst = parse_expr(rhs_s)
+            coeffs = dict(lc)
+            for name, v in rc.items():
+                coeffs[name] = coeffs.get(name, 0.0) - v
+            parsed.append((coeffs, op, rconst - lconst))
+        return parsed
+
+    def _satisfies_constraints(self, params: Dict[str, Any]) -> bool:
+        for coeffs, op, bound in self._constraints:
+            total = sum(c * float(params[n]) for n, c in coeffs.items())
+            if op == "<=" and total > bound + 1e-12:
+                return False
+            if op == ">=" and total < bound - 1e-12:
+                return False
+        return True
+
+    def _next_feasible_sobol(self) -> np.ndarray:
+        """Next main-stream Sobol draw satisfying the constraints
+        (rejection sampling; replayed identically on resume)."""
+        u = self._sobol.random(1)[0]
+        if not self._constraints:
+            return u
+        for _ in range(512):
+            if self._satisfies_constraints(self._decode_sobol_point(u)):
+                return u
+            u = self._sobol.random(1)[0]
+        self.config.log(
+            "WARNING: no constraint-satisfying Sobol point in 512 draws; "
+            "using the last draw"
+        )
+        return u
 
     # ------------------------------------------------------------------ backend
 
@@ -195,6 +281,14 @@ class AxSearchJob(AutoSearchJob):
         # never re-propose an already-evaluated point
         dup = (np.abs(pool[:, None, :] - X[None, :, :]).max(-1) < 1e-9)
         ei[dup.any(1)] = -np.inf
+        if self._constraints:
+            feasible = np.array([
+                self._satisfies_constraints(self._decode_sobol_point(p))
+                for p in pool
+            ])
+            ei[~feasible] = -np.inf
+            if not feasible.any():
+                return None  # fall back to the quasi-random stream
         return self._decode_sobol_point(pool[int(np.argmax(ei))])
 
     def _fallback_point(self, trial_id: int) -> np.ndarray:
@@ -209,9 +303,25 @@ class AxSearchJob(AutoSearchJob):
             d=max(len(self._sobol_dims), 1), scramble=True,
             seed=self.sobol_seed + 2,
         )
+        if not self._constraints:
+            if trial_id:
+                s.fast_forward(trial_id)
+            return s.random(1)[0]
+        # constrained: draw a fixed-size block positioned by trial id and
+        # take the first feasible point (position-independent, so resume
+        # regenerates the same arm regardless of other trials)
+        block = 64
         if trial_id:
-            s.fast_forward(trial_id)
-        return s.random(1)[0]
+            s.fast_forward(trial_id * block)
+        draws = s.random(block)
+        for u in draws:
+            if self._satisfies_constraints(self._decode_sobol_point(u)):
+                return u
+        self.config.log(
+            "WARNING: no constraint-satisfying fallback point in "
+            f"{block} draws; using the first"
+        )
+        return draws[0]
 
     def register_trial(self, parameters=None):
         if self._generated >= self.num_trials:
@@ -229,7 +339,7 @@ class AxSearchJob(AutoSearchJob):
             return self._decode_sobol_point(
                 self._fallback_point(trial_id)
             ), trial_id
-        u = self._sobol.random(1)[0]
+        u = self._next_feasible_sobol()
         self._generated += 1
         return self._decode_sobol_point(u), trial_id
 
@@ -272,7 +382,12 @@ class AxSearchJob(AutoSearchJob):
         elif self._sobol is not None:
             # only the first _num_sobol() arms consumed Sobol draws; the
             # GP phase refits from the restored results deterministically
-            self._sobol.fast_forward(
-                min(len(self.parameters), self._num_sobol())
-            )
+            n = min(len(self.parameters), self._num_sobol())
+            if self._constraints:
+                # replay the identical rejection process so the stream
+                # lands exactly where the crashed run left it
+                for _ in range(n):
+                    self._next_feasible_sobol()
+            else:
+                self._sobol.fast_forward(n)
             self._generated = len(self.parameters)

@@ -175,6 +175,69 @@ def test_gp_ei_phase_resume_is_deterministic(tmp_path):
         job2.results.append(objective(params))
 
 
+def test_parameter_constraints_native_backend(tmp_path):
+    """Every arm proposed by the native Sobol+GP fallback must satisfy
+    ax_search.parameter_constraints (reference behavior via Ax,
+    kge/job/search_ax.py:32-56): Sobol rejection-resamples, the EI pool
+    masks infeasible candidates, and resume replays identically."""
+    from kge_tpu.search.ax import AxSearchJob
+
+    def build(name):
+        config = _search_config(tmp_path, name)
+        config.set("ax_search.num_trials", 16)
+        config.set("ax_search.num_sobol_trials", 8)
+        config.set("ax_search.parameters", [
+            {"name": "a", "type": "range", "bounds": [0.0, 1.0]},
+            {"name": "b", "type": "range", "bounds": [0.0, 1.0]},
+        ])
+        config.set("ax_search.parameter_constraints",
+                   ["a + b <= 1.0", "a >= b"])
+        return AxSearchJob(config, _dataset(config))
+
+    def objective(params):
+        a, b = params["a"], params["b"]
+        return {"mean_reciprocal_rank_filtered": 1.0 - (a - 0.6) ** 2 - b ** 2}
+
+    job = build("con_a")
+    job.init_search()
+    history = []
+    for _ in range(16):
+        params, _tid = job.register_trial()
+        assert params is not None
+        assert params["a"] + params["b"] <= 1.0 + 1e-9, params
+        assert params["a"] >= params["b"] - 1e-9, params
+        history.append(params)
+        job.parameters.append(params)
+        job.results.append(objective(params))
+
+    # resume after 10 trials: the remaining arms must regenerate exactly
+    job2 = build("con_b")
+    job2.init_search()
+    job2.parameters = list(history[:10])
+    job2.results = [objective(p) for p in history[:10]]
+    # the constrained resume branch replays the rejection process
+    for _ in range(min(10, job2._num_sobol())):
+        job2._next_feasible_sobol()
+    job2._generated = 10
+    for i in range(10, 16):
+        params, _tid = job2.register_trial()
+        assert params == history[i], i
+        job2.parameters.append(params)
+        job2.results.append(objective(params))
+
+
+def test_constraint_parser():
+    from kge_tpu.search.ax import AxSearchJob
+
+    parsed = AxSearchJob._parse_constraints(
+        ["2*a + b <= 5", "a - b >= 0", "a <= b", "a + 1 <= 2*b - 0.5"]
+    )
+    assert parsed[0] == ({"a": 2.0, "b": 1.0}, "<=", 5.0)
+    assert parsed[1] == ({"a": 1.0, "b": -1.0}, ">=", 0.0)
+    assert parsed[2] == ({"a": 1.0, "b": -1.0}, "<=", 0.0)
+    assert parsed[3] == ({"a": 1.0, "b": -2.0}, "<=", -1.5)
+
+
 def test_sharded_trial_farm_two_hosts_shared_fs(tmp_path):
     """Multi-host trial farm: two shards over one shared folder. Shard 0
     runs even trials, shard 1 odd; after both complete, re-running shard
