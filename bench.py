@@ -1,21 +1,30 @@
-"""Headline benchmark: KGE training throughput (triples/s) on one chip.
+"""Headline benchmark: KGE training throughput (triples/s) on one chip,
+measured in BOTH regimes the machine can be in:
 
-Workload: ComplEx, FB15k-237-scale synthetic graph (14541 entities, 237
-relations, dim 128), negative-sampling training with 128 shared negatives
-per slot and batch 1024 — the shape of the reference's large-scale recipe
-(reference README: Wikidata5M/Yago3-10 configs use shared NegSamp,
-dim 128, batch 1024, Adagrad).
+- FB15k-237 scale (14541 entities, 7 MB table): dispatch/op-latency
+  bound — the regime of the reference's most-published configs.
+- Wikidata5M scale (4.8M entities, 2.3 GiB table): HBM-bandwidth bound
+  (dense Adagrad table passes dominate) — the regime that stresses the
+  chip; `w5m_pct_hbm_roofline` is the honest hardware-utilization
+  number.
+
+Workload for both: ComplEx dim 128, negative-sampling training with
+128 shared negatives per slot and batch 1024 — the shape of the
+reference's large-scale recipe (reference README: Wikidata5M/Yago3-10
+configs use shared NegSamp, dim 128, batch 1024, Adagrad).
 
 The reference publishes no throughput numbers (BASELINE.md), so
-vs_baseline is reported against a fixed reference point of 20k triples/s
-(a PyTorch V100-class figure for this workload in LibKGE-style loops);
-higher is better.
+vs_baseline is reported against a fixed reference point of 20k
+triples/s (a PyTorch V100-class figure for this workload in
+LibKGE-style loops); higher is better.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: the FB15k-237 headline metric plus w5m_* fields
+for the bandwidth-bound regime.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -47,18 +56,15 @@ def build_synthetic_dataset(config, num_entities=14541, num_relations=237,
     return dataset
 
 
-def main():
+def _negsamp_config(dim=128):
     from kge_tpu import Config
-    from kge_tpu.train.train import TrainingJob
-    import jax
-    import jax.numpy as jnp
 
     config = Config()
     config.folder = None
     config.set("console.quiet", True)
     config.set("model", "complex")
     config._import("complex")
-    config.set("lookup_embedder.dim", 128)
+    config.set("lookup_embedder.dim", dim)
     config.set("train.type", "negative_sampling")
     config.set("train.batch_size", 1024)
     config.set("negative_sampling.num_samples.s", 128)
@@ -66,37 +72,67 @@ def main():
     config.set("negative_sampling.shared", True)
     config.set("negative_sampling.implementation", "batch")
     config.set("train.optimizer.default.args.lr", 0.1, create=True)
-    import os as _os
-    if _os.environ.get("KGE_TPU_LOOKUP"):
-        config.set("tpu.embedding_lookup", _os.environ["KGE_TPU_LOOKUP"])
+    if os.environ.get("KGE_TPU_LOOKUP"):
+        config.set("tpu.embedding_lookup", os.environ["KGE_TPU_LOOKUP"])
     config.set("random_seed.default", 13)
     config.set("valid.every", 0)
+    return config
 
-    dataset = build_synthetic_dataset(config)
+
+def bench_negsamp(num_entities, num_relations, num_triples, steps,
+                  distinct_batches, dim=128):
+    """(sec_per_step, roofline dict) for one NegSamp training shape."""
+    from kge_tpu.train.train import TrainingJob
+    from harness import measure_steps
+    from roofline import negsamp_step_bytes, negsamp_step_flops, roofline
+
+    config = _negsamp_config(dim)
+    dataset = build_synthetic_dataset(
+        config, num_entities=num_entities, num_relations=num_relations,
+        num_triples=num_triples,
+    )
     job = TrainingJob.create(config, dataset)
     job._prepare()
     job._is_prepared = True
-
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
-    from harness import measure_steps
-
-    sec_per_step, _ = measure_steps(job, steps=64, distinct_batches=8)
-    triples_per_s = job.batch_size / sec_per_step
-    from roofline import negsamp_step_bytes, negsamp_step_flops, roofline
-
+    sec_per_step, _ = measure_steps(
+        job, steps=steps, distinct_batches=distinct_batches
+    )
     rl = roofline(
-        negsamp_step_bytes(dataset.num_entities(), dataset.num_relations(),
-                           128, job.batch_size, 128),
-        negsamp_step_flops(128, job.batch_size, 128),
+        negsamp_step_bytes(num_entities, num_relations, dim,
+                           job.batch_size, 128),
+        negsamp_step_flops(dim, job.batch_size, 128),
         sec_per_step,
     )
+    return job.batch_size / sec_per_step, sec_per_step, rl
+
+
+def main():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+
+    # regime 1: FB15k-237 scale (latency-bound; most-published configs)
+    fb_tps, fb_sec, fb_rl = bench_negsamp(
+        num_entities=14541, num_relations=237, num_triples=272115,
+        steps=64, distinct_batches=8,
+    )
+
+    # regime 2: Wikidata5M scale (bandwidth-bound; 2.3 GiB entity table,
+    # dense Adagrad passes dominate). Fewer steps: each one moves ~14 GB.
+    w5m_tps, w5m_sec, w5m_rl = bench_negsamp(
+        num_entities=4_818_679, num_relations=828, num_triples=500_000,
+        steps=16, distinct_batches=4,
+    )
+
     print(json.dumps({
         "metric": "train_triples_per_s_complex_negsamp_fb15k237_scale",
-        "value": round(triples_per_s, 1),
+        "value": round(fb_tps, 1),
         "unit": "triples/s/chip",
-        "vs_baseline": round(triples_per_s / REFERENCE_TRIPLES_PER_S, 3),
-        **rl,
+        "vs_baseline": round(fb_tps / REFERENCE_TRIPLES_PER_S, 3),
+        **fb_rl,
+        "w5m_train_triples_per_s": round(w5m_tps, 1),
+        "w5m_step_ms": round(w5m_sec * 1e3, 2),
+        "w5m_achieved_GBps": w5m_rl["achieved_GBps"],
+        "w5m_pct_hbm_roofline": w5m_rl["pct_hbm_roofline"],
+        "w5m_entity_table_GiB": round(4_818_679 * 128 * 4 / 2 ** 30, 2),
     }))
 
 
