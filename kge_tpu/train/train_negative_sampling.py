@@ -299,6 +299,7 @@ class TrainingJobNegativeSampling(TrainingJob):
             f"Preparing negative sampling with '{self._implementation}' "
             "scoring..."
         )
+        self._fused_slots = self._resolve_fused_loss_slots()
         self.graph_sampling = self.config.check(
             "negative_sampling.graph_sampling",
             ["uniform", "edge_neighbourhood", "None"],
@@ -354,7 +355,23 @@ class TrainingJobNegativeSampling(TrainingJob):
                 key = SLOT_STR[slot]
                 if ns.shared:
                     batch[f"neg_unique_{key}"] = ns.unique
-                    batch[f"neg_gather_{key}"] = ns.gather
+                    if slot in self._fused_slots:
+                        # the fused kernel consumes candidate
+                        # multiplicities, not gather positions — built
+                        # HERE because a device-side scatter-add would
+                        # serialize (TPU scatters are the slowest op in
+                        # the step by an order of magnitude)
+                        counts = np.zeros(
+                            (len(triples), len(ns.unique)), np.float32
+                        )
+                        np.add.at(
+                            counts,
+                            (np.arange(len(triples))[:, None], ns.gather),
+                            1.0,
+                        )
+                        batch[f"neg_counts_{key}"] = counts
+                    else:
+                        batch[f"neg_gather_{key}"] = ns.gather
                 else:
                     batch[f"negatives_{key}"] = ns.materialize()
             if self._sparse_paths:
@@ -413,6 +430,98 @@ class TrainingJobNegativeSampling(TrainingJob):
                 batch[f"negatives_{key}"] = remap(batch[f"negatives_{key}"])
         batch["uniq_e"] = uniq_e
         batch["uniq_r"] = uniq_r
+
+    # ------------------------------------------------------------------ fused loss
+
+    def _resolve_fused_loss_slots(self):
+        """Slots routed through the fused Pallas score+CE kernel (one
+        call replaces the matmul / row-gather / concat / log-softmax
+        kernel chain of the latency-bound step; ops/pallas/
+        negsamp_loss.py)."""
+        mode = self.config.check(
+            "tpu.fused_negsamp_loss", ["auto", "always", "never"]
+        )
+        if mode == "never":
+            return ()
+        import jax
+
+        m = self.model
+        reasons = []
+        if not self._sampler.shared:
+            reasons.append("negatives are not shared")
+        if self._implementation != "batch":
+            reasons.append(
+                f"implementation '{self._implementation}' is not 'batch'"
+            )
+        if self.config.get("train.loss") != "kl":
+            reasons.append("train.loss is not kl (the kernel fuses the "
+                           "log-softmax cross entropy)")
+        if not (hasattr(m, "supports_dot_ranking")
+                and m.supports_dot_ranking()):
+            reasons.append("model has no dot form")
+        elif getattr(m, "dot_score_space", lambda: "native")() != "native":
+            reasons.append("dot form is a monotone transform, not the "
+                           "native score")
+        if self.mesh is not None:
+            reasons.append("mesh sharding active (pallas_call has no SPMD "
+                           "partitioning rule)")
+        if mode == "auto" and jax.default_backend() == "cpu":
+            reasons.append("CPU backend (interpret mode is slower than XLA)")
+        if reasons:
+            if mode == "always":
+                raise ValueError(
+                    "tpu.fused_negsamp_loss=always is not applicable here: "
+                    + "; ".join(reasons)
+                )
+            return ()
+        slots = tuple(
+            s for s in (S, O) if self._sampler.num_samples[s] > 0
+        )
+        if slots:
+            self.config.log(
+                "Using the fused shared-negative loss kernel for slots "
+                + ", ".join(SLOT_STR[s] for s in slots)
+            )
+        return slots
+
+    def _fused_loss(self, params, ctx: Ctx, triples, weights, batch, sl,
+                    slots) -> jnp.ndarray:
+        import jax
+        from kge_tpu.ops.pallas.negsamp_loss import shared_ce_loss
+
+        interpret = jax.default_backend() == "cpu"
+        s, p, o = triples[:, 0], triples[:, 1], triples[:, 2]
+        q_sp, q_po = self.model.dot_queries(params, s, p, o, ctx=ctx)
+        total = 0.0
+        for slot in slots:
+            key = SLOT_STR[slot]
+            unique = batch[f"neg_unique_{key}"]        # [num+1]
+            # multiplicity of each unique candidate in the row's sample:
+            # the count form selects exactly the multiset the reference's
+            # per-row gather selects (with-replacement draws + drop
+            # trick); built host-side in _generate_batches
+            counts = batch[f"neg_counts_{key}"][sl]    # [rows, num+1]
+            if slot == O:
+                q = q_sp
+                cand, _ = self.model.dot_candidates(
+                    params, unique, ctx=ctx, sides=("sp",)
+                )
+                pos_cand, _ = self.model.dot_candidates(
+                    params, o, ctx=ctx, sides=("sp",)
+                )
+            else:
+                q = q_po
+                _, cand = self.model.dot_candidates(
+                    params, unique, ctx=ctx, sides=("po",)
+                )
+                _, pos_cand = self.model.dot_candidates(
+                    params, s, ctx=ctx, sides=("po",)
+                )
+            pos = jnp.sum(q * pos_cand, axis=1)
+            total = total + shared_ce_loss(
+                q, cand, pos, counts, weights, interpret
+            )
+        return total
 
     # ------------------------------------------------------------------ scoring
 
@@ -484,9 +593,17 @@ class TrainingJobNegativeSampling(TrainingJob):
         weights = batch["weights"][sl]
         size = batch["size"]
         total = 0.0
+        fused = tuple(
+            s for s in getattr(self, "_fused_slots", ())
+            if f"neg_counts_{SLOT_STR[s]}" in batch
+        )
+        if fused:
+            total = total + self._fused_loss(
+                params, ctx, triples, weights, batch, sl, fused
+            ) / size
         for slot in SLOTS:
             num = int(self._sampler.num_samples[slot])
-            if num <= 0:
+            if num <= 0 or slot in fused:
                 continue
             pos = self.model.score_spo(
                 params, triples[:, 0], triples[:, 1], triples[:, 2],
