@@ -286,13 +286,14 @@ class Rgnn(KgeBase):
     @property
     def row_block_modes(self) -> Tuple[str, ...]:
         """Edge-set names needing padded-CSR row blocks (the
-        materialization-free aggregation path of MessagePassingLayer);
-        attention and per_relation layers keep the message path."""
+        materialization-free aggregation path of MessagePassingLayer,
+        including its attention softmax); per_relation layers keep the
+        bucketed-scan path."""
         if self.neighbor_block_size <= 0:
             return ()
         modes = set()
         for l in self.layers:
-            if not isinstance(l, MessagePassingLayer) or l.attention \
+            if not isinstance(l, MessagePassingLayer) \
                     or l.propagation.startswith("per_relation"):
                 continue
             if l.propagation == "direction":

@@ -436,6 +436,77 @@ class MessagePassingLayer(RgnnLayerBase):
             out = out - rel_term
         return out
 
+    def _attention_rb_keys(self) -> Tuple[str, ...]:
+        """Row-block edge-set keys the attention path needs (non-loop
+        modes only; self-loops aggregate densely, one edge per node)."""
+        keys = []
+        for mode in self.modes:
+            if mode == "loop":
+                continue
+            keys.append(mode if mode in ("in", "out") else (
+                "single" if self.self_edge_weight else "single_with_loops"
+            ))
+        return tuple(keys)
+
+    def _row_block_attention(self, params, x, r_full, graph, rb_key,
+                             mask, weight, head: int, drop_mask):
+        """Numerator/denominator of the RAGAT edge softmax accumulated
+        over padded-CSR row blocks — per column: compose, transform,
+        score, exp — with NO [E, d] message buffer (the legacy concat
+        branch in apply() materializes three of them; reference
+        rgnn_encoder.py:562-584 keeps per-edge messages by design).
+        ``mask`` is the per-edge mask vector the rb position arrays
+        index; ``drop_mask`` is the pre-drawn propagation-dropout
+        multiplier per (row, k) entry (None = eval). The accumulation is
+        rematerialized in the backward (jax.checkpoint) so autodiff
+        keeps no per-column message residuals."""
+        nbr = graph[f"rb_{rb_key}_nbr"]
+        types = graph[f"rb_{rb_key}_type"]
+        pos = graph[f"rb_{rb_key}_pos"]
+        node = graph[f"rb_{rb_key}_node"]
+        K = nbr.shape[1]
+        N = self.num_entities
+        mw_table = (params[f"w_msgweight_h{head}"]
+                    if self.message_weight else None)
+        alpha = params["alpha"] if self.learned_relation_weight else None
+
+        @jax.checkpoint
+        def accumulate(x, r_full, weight, att_w, mw_table, alpha, mask):
+            h_i = jnp.take(x, node, axis=0)
+            num = jnp.zeros((node.shape[0], self.out_dim), x.dtype)
+            den = jnp.zeros((node.shape[0], 1), x.dtype)
+            for k in range(K):
+                nb, tp, p = nbr[:, k], types[:, k], pos[:, k]
+                s = jnp.where(
+                    p >= 0, jnp.take(mask, jnp.maximum(p, 0)), 0.0
+                )
+                h_j = jnp.take(x, nb, axis=0)
+                h_r = jnp.take(r_full, tp, axis=0)
+                mw = (jnp.take(mw_table, tp, axis=0)
+                      if mw_table is not None else None)
+                m = self.composition(h_i, h_j, h_r, mw) @ weight
+                if alpha is not None:
+                    m = m * jnp.take(alpha, tp, axis=0)
+                m = m * s[:, None]
+                # identical numerics to the legacy path: score on the
+                # masked message, no max subtraction
+                score = -jax.nn.leaky_relu(
+                    (m @ att_w)[:, 0], negative_slope=0.2
+                )
+                e = jnp.where(p >= 0, jnp.exp(score), 0.0)
+                ed = e if drop_mask is None else e * drop_mask[:, k]
+                num = num + ed[:, None] * m
+                den = den + e[:, None]
+            return num, den
+
+        num, den = accumulate(x, r_full, weight,
+                              params[f"w_att_h{head}"], mw_table, alpha,
+                              mask)
+        return (
+            segment_sum(num, node, N, indices_are_sorted=True),
+            segment_sum(den, node, N, indices_are_sorted=True),
+        )
+
     def _per_relation_out(self, params, x, r_full, graph, edge_mask,
                           ctx: Ctx) -> jnp.ndarray:
         """Scan over padded relation buckets; one matmul per relation."""
@@ -543,6 +614,51 @@ class MessagePassingLayer(RgnnLayerBase):
                 loop_msg = (composed @ params["w_loop"]) * self_mask[:, None]
                 out = out + loop_msg
                 head_outputs.append(out)
+                continue
+
+            if self.attention and all(
+                    f"rb_{k}_nbr" in graph
+                    for k in self._attention_rb_keys()):
+                # row-block attention: sum per-mode (numerator,
+                # denominator) pairs — additive, so modes combine
+                # exactly as the legacy concat-then-softmax does
+                att_w = params[f"w_att_h{head}"]
+                num = jnp.zeros((N, self.out_dim), x.dtype)
+                den = jnp.zeros((N, 1), x.dtype)
+                for mode in self.modes:
+                    src, nbr, types, mask, is_loop, _ = mode_edges(mode)
+                    if is_loop:
+                        msg = self._edge_messages(
+                            params, x, r_full, src, nbr, types, mask,
+                            params[f"w_{mode}_h{head}"], head, True,
+                            None, ctx,
+                        )
+                        score = -jax.nn.leaky_relu(
+                            (msg @ att_w)[:, 0], negative_slope=0.2
+                        )
+                        e = jnp.exp(score)[:, None]
+                        num = num + ctx.dropout(e, self.prop_dropout) * msg
+                        den = den + e
+                    else:
+                        rb_key = mode if mode in ("in", "out") else (
+                            "single" if self.self_edge_weight
+                            else "single_with_loops"
+                        )
+                        drop_mask = None
+                        if ctx.train and self.prop_dropout > 0:
+                            keep = 1.0 - self.prop_dropout
+                            drop_mask = jax.random.bernoulli(
+                                ctx.take_rng(), keep,
+                                graph[f"rb_{rb_key}_nbr"].shape,
+                            ).astype(x.dtype) / keep
+                        n_m, d_m = self._row_block_attention(
+                            params, x, r_full, graph, rb_key, mask,
+                            params[f"w_{mode}_h{head}"], head, drop_mask,
+                        )
+                        num = num + n_m
+                        den = den + d_m
+                den = jnp.where(den == 0.0, 1.0, den)
+                head_outputs.append(num / den)
                 continue
 
             per_mode = []

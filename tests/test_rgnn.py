@@ -207,3 +207,76 @@ def test_row_block_gradients_match_scatter():
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5,
                 err_msg=f"edge_norm={edge_norm}",
             )
+
+
+def test_row_block_attention_matches_concat_path():
+    """The row-block attention softmax (no [E, d] message buffer) must
+    reproduce the legacy concat-then-softmax path exactly — values and
+    gradients — across propagation modes, compositions and heads."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from kge_tpu import Dataset
+    from kge_tpu.models import Ctx, KgeModel
+    from tests.util import create_config, get_dataset_folder
+
+    for propagation, composition, heads, mw in [
+        ("direction", "cross_weighted", 2, True),   # RAGAT preset shape
+        ("direction", "mult", 1, False),
+        ("single", "neighbor", 1, False),
+        ("single_with_self_edge_weight", "sub", 2, False),
+    ]:
+        outs, grads = [], []
+        for block in (0, 4):
+            config = create_config("dataset_test", model="compgcn")
+            mp = "compgcn.encoder.message_passing_args"
+            config.set(f"{mp}.propagation", propagation)
+            config.set(f"{mp}.composition", composition)
+            config.set(f"{mp}.attention", True)
+            config.set(f"{mp}.num_heads", heads)
+            config.set(f"{mp}.message_weight", mw)
+            config.set("compgcn.encoder.neighbor_block_size", block,
+                       create=True)
+            for key in (
+                "compgcn.entity_embedder.dim",
+                "compgcn.relation_embedder.dim",
+                "compgcn.decoder.base_model.entity_embedder.dim",
+                "compgcn.decoder.base_model.relation_embedder.dim",
+            ):
+                config.set(key, 16, create=True)
+            dataset = Dataset.create(
+                config, get_dataset_folder("dataset_test"))
+            model = KgeModel.create(config, dataset)
+            params = model.init_params(jax.random.PRNGKey(3))
+
+            def loss(params):
+                ctx = Ctx(train=False, state=model.init_state())
+                s = jnp.asarray([0, 1])
+                p = jnp.asarray([0, 1])
+                return jnp.sum(model.score_sp(params, s, p, ctx=ctx) ** 2)
+
+            ctx = Ctx(train=False, state=model.init_state())
+            outs.append(np.asarray(model.score_sp(
+                params, jnp.asarray([0, 1]), jnp.asarray([0, 1]), ctx=ctx)))
+            grads.append(jax.grad(loss)(params))
+        tag = f"{propagation}/{composition}/h{heads}"
+        np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=1e-5,
+                                   err_msg=tag)
+        for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
+                        jax.tree_util.tree_leaves(grads[1])):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5,
+                err_msg=tag,
+            )
+
+
+def test_ragat_trains_with_row_blocks():
+    """One RAGAT epoch through the full job with row blocks on (train
+    mode exercises the per-entry dropout draw in the rb softmax)."""
+    config = _make_config("ragat")
+    config.set("ragat.encoder.neighbor_block_size", 4, create=True)
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    job = TrainingJob.create(config, dataset)
+    trace = job.run()
+    assert np.isfinite(trace["avg_loss"])
