@@ -173,6 +173,13 @@ def build_graph_buffers(triples: np.ndarray, num_relations: int,
         # and the scan body handles repeated relation ids naturally
         emax = _bucket_pow2(int(counts.max())) if len(counts) else 1
         emax = min(emax, 2048)
+        # bound bucket padding on skewed graphs: every nonempty relation
+        # wastes < emax slots (its last partial chunk), so keeping
+        # R * emax <= E/2 bounds the padded total at 1.5x the edge
+        # count; the floor keeps per-chunk matmuls MXU-viable
+        if len(counts):
+            budget = max(8, E // (2 * len(rels)))
+            emax = min(emax, 1 << (budget.bit_length() - 1))
         rows: list = []
         row_rels: list = []
         order = np.argsort(edge_type, kind="stable")

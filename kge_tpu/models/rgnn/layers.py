@@ -554,7 +554,10 @@ class MessagePassingLayer(RgnnLayerBase):
                 msg = msg * (deg_inv[src] * deg_inv[nbr] * mask)[:, None]
             else:
                 msg = msg * mask[:, None]
-            return acc + segment_sum(msg, src, N), None
+            # scatter-add straight into the carry: `acc + segment_sum`
+            # would build (and read back) a fresh [N, d] buffer every
+            # bucket row
+            return acc.at[src].add(msg), None
 
         acc0 = jnp.zeros((N, self.out_dim), x.dtype)
         out, _ = jax.lax.scan(step, acc0, (buckets, bucket_rels))
@@ -846,7 +849,9 @@ class RgcnLayer(RgnnLayerBase):
             else:
                 msg = h_j @ params["weights"][rel]
             msg = msg * vals[:, None]
-            return acc + segment_sum(msg, src, N), None
+            # scatter-add straight into the carry (see
+            # MessagePassingLayer._per_relation_out)
+            return acc.at[src].add(msg), None
 
         acc0 = jnp.zeros((N, self.out_dim), x.dtype)
         out, _ = jax.lax.scan(step, acc0, (buckets, bucket_rels))

@@ -280,3 +280,34 @@ def test_ragat_trains_with_row_blocks():
     job = TrainingJob.create(config, dataset)
     trace = job.run()
     assert np.isfinite(trace["avg_loss"])
+
+
+def test_rel_bucket_padding_bounded_on_skewed_graphs():
+    """Adaptive bucket width must keep per-relation scan padding under
+    1.5x the edge count when the relation distribution is skewed (one
+    hot relation + a long tail of rare ones)."""
+    from kge_tpu.models.rgnn.encoder import build_graph_buffers
+
+    rng = np.random.default_rng(0)
+    num_rel = 120
+    # relation 0: 20k edges; the rest: 1-4 edges each
+    tail = [
+        np.stack([
+            rng.integers(0, 500, size=n),
+            np.full(n, r),
+            rng.integers(0, 500, size=n),
+        ], axis=1)
+        for r, n in zip(range(1, num_rel),
+                        rng.integers(1, 5, size=num_rel - 1))
+    ]
+    hot = np.stack([
+        rng.integers(0, 500, size=20000),
+        np.zeros(20000, np.int64),
+        rng.integers(0, 500, size=20000),
+    ], axis=1)
+    triples = np.concatenate([hot] + tail).astype(np.int64)
+    graph = build_graph_buffers(triples, num_rel, per_relation=True,
+                                num_entities=500)
+    E = graph["edge_index"].shape[1]
+    padded = graph["rel_buckets"].size
+    assert padded / E < 1.5, f"padding factor {padded / E:.2f}"
