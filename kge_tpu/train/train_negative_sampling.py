@@ -117,15 +117,19 @@ class TrainingJobNegativeSampling(TrainingJob):
                 # program touches a single table buffer over ~1 GiB (the
                 # split phases each run fine); re-verified still faulting
                 # on jaxlib 0.9.0 (worker crash at V=2.5M, dim 128); cap
-                # auto until resolved -- beyond this, shard the
-                # vocabulary over the mesh instead
+                # auto until resolved -- vocab sharding (tpu.mesh.model)
+                # divides the per-shard buffer under the cap, which is
+                # the designed escape at Wikidata scale (boundary
+                # behavior pinned by tests/test_sparse_updates.py)
                 dim = self.model.get_s_embedder().dim
                 e_pad = self.model.get_s_embedder().padded_vocab_size
                 shards = self.mesh.shape["model"] if self.mesh else 1
-                if e_pad * dim * 4 // shards > (1 << 30):
+                limit = int(config.get("tpu.sparse_scatter_limit_bytes"))
+                if e_pad * dim * 4 // shards > limit:
                     reasons.append(
-                        "entity table shard exceeds the verified 1 GiB "
-                        "single-buffer limit for fused row scatters"
+                        "entity table shard exceeds the verified "
+                        f"{limit}-byte single-buffer limit for fused row "
+                        "scatters"
                     )
         if reasons:
             if mode == "always":

@@ -129,3 +129,65 @@ def test_sparse_under_mesh_matches_dense_single_device():
             job.params["entity_embedder"]["weights"]
         )[: dataset.num_entities()])
     np.testing.assert_allclose(tables[0], tables[1], atol=1e-5)
+
+
+def test_vocab_sharding_escapes_scatter_limit():
+    """The auto heuristic must refuse sparse updates when the unsharded
+    entity table exceeds the scatter-limit cap, and activate them when
+    vocab sharding (tpu.mesh.model) brings each shard under it — the
+    designed escape from the v5e 1 GiB fused-scatter fault, exercised
+    here at a scaled-down cap. The sharded sparse run must also match
+    the dense single-device trajectory."""
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+
+    def run(mesh, sparse="auto", limit=30000):
+        config = create_config("toy", model="complex")
+        config.set("console.quiet", True)
+        config.set("lookup_embedder.dim", 16)
+        config.set("train.type", "negative_sampling")
+        config.set("negative_sampling.num_samples.s", 1)
+        config.set("negative_sampling.num_samples.o", 1)
+        config.set("negative_sampling.shared", True)
+        config.set("negative_sampling.implementation", "batch")
+        # divisible by the data axis: mesh runs round batch_size up,
+        # which would change the trajectory vs the single-device run
+        config.set("train.batch_size", 8)
+        config.set("train.max_epochs", 1)
+        config.set("valid.every", 0)
+        config.set("random_seed.default", 5)
+        config.set("train.optimizer.default.args.lr", 0.1, create=True)
+        config.set("tpu.mesh.data", mesh[0])
+        config.set("tpu.mesh.model", mesh[1])
+        config.set("tpu.sparse_updates", sparse)
+        config.set("tpu.sparse_scatter_limit_bytes", limit)
+        # synthetic 900-entity graph: big enough for the 32x
+        # vocab/touched-rows crossover check to pass
+        n, ks = 900, (1, 2, 5)
+        triples = np.array(
+            [(a, i, (a + k) % n) for i, k in enumerate(ks)
+             for a in range(n)], dtype=np.int32)
+        config.set("dataset.num_entities", n)
+        config.set("dataset.num_relations", len(ks))
+        config.set("dataset.pickle", False)
+        dataset = Dataset(config, folder=None)
+        dataset._triples.update(
+            train=triples, valid=triples[:8], test=triples[8:16])
+        job = TrainingJob.create(config, dataset)
+        job.run()
+        return job
+
+    # unsharded: padded 900-entity table (16 dims, f32) > 30000 bytes
+    job = run((1, 1))
+    assert job._sparse_paths == ()
+    # model=2 mesh: each vocab shard is under the cap -> auto activates
+    sharded = run((4, 2))
+    assert sharded._sparse_paths == (
+        "entity_embedder.weights", "relation_embedder.weights"
+    )
+    dense = run((1, 1), sparse="never", limit=1 << 30)
+    np.testing.assert_allclose(
+        np.asarray(sharded.params["entity_embedder"]["weights"])[:900],
+        np.asarray(dense.params["entity_embedder"]["weights"])[:900],
+        atol=1e-5,
+    )
