@@ -82,10 +82,23 @@ class Dataset(Configurable):
             if "dataset" in checkpoint and checkpoint["dataset"].get("folder"):
                 folder = checkpoint["dataset"]["folder"]
             if folder is None or not os.path.isdir(folder):
-                try:
+                default_folder = os.path.join(
+                    kge_base_dir(), "data", config.get("dataset.name")
+                )
+                if os.path.isdir(default_folder):
                     dataset = Dataset.create(config, preload_data=preload_data)
-                except FileNotFoundError:
+                elif checkpoint.get("dataset", {}).get("meta"):
+                    # packaged checkpoint: id maps embedded, no files needed
                     dataset = Dataset(config, folder=None)
+                else:
+                    # e.g. a typo'd dataset folder on resume: fail here
+                    # with the real cause instead of deferring to a
+                    # confusing missing-map error later
+                    raise FileNotFoundError(
+                        f"dataset folder {folder or default_folder!r} not "
+                        "found and the checkpoint does not embed id maps "
+                        "(not a packaged model)"
+                    )
             else:
                 dataset = Dataset.create(config, folder, preload_data=preload_data)
         if "dataset" in checkpoint:

@@ -209,6 +209,100 @@ def build_graph_buffers(triples: np.ndarray, num_relations: int,
     return graph
 
 
+def build_halo_structures(graph: Dict[str, np.ndarray],
+                          modes: Tuple[str, ...], P: int,
+                          num_nodes_padded: int) -> Dict[str, np.ndarray]:
+    """Edge-partitioned layout for the mesh GNN (SURVEY.md section 2.5:
+    per-shard gather -> compose -> segment_sum with halo exchange of
+    boundary entity embeddings over ICI; reference full-graph forward:
+    kge/model/embedder/rgnn_encoder.py:1283-1303 has no notion of this).
+
+    Row blocks are already keyed and sorted by aggregation node, so
+    partitioning by the node's vocab shard is a contiguous split.
+    Neighbors a shard already OWNS are gathered straight from its local
+    [S, d] table slice (slots ``0..S-1``); only the CROSS-shard boundary
+    rides the wire. For each (owner shard q, destination shard p, q!=p)
+    pair the unique remote neighbors q must send to p become
+    ``send[q, p, :]`` (local row ids on q, padded to the max remote
+    boundary width rmax); each destination's neighbor ids are remapped
+    to gather-table slots — local rows verbatim, remote rows at
+    ``S + q * rmax + rank``. The device-side consumer
+    (MessagePassingLayer._halo_rowblock) concatenates its local slice
+    with one all_to_all of the boundary buffers, so per-layer ICI
+    volume is (P-1) * rmax * d per shard instead of the whole
+    vocab-sharded [V, d] table GSPMD would all-gather.
+    """
+    S = num_nodes_padded // P
+    out: Dict[str, np.ndarray] = {"halo_shard_size": S}
+    for mode in modes:
+        nbr = graph[f"rb_{mode}_nbr"]
+        typ = graph[f"rb_{mode}_type"]
+        pos = graph[f"rb_{mode}_pos"]
+        node = graph[f"rb_{mode}_node"]
+        K = nbr.shape[1]
+        owner_rows = node.astype(np.int64) // S
+        rows_per = np.bincount(owner_rows, minlength=P)
+        Rmax = max(1, int(rows_per.max()))
+        shard_data = []
+        send_lists: list = [[np.zeros(0, np.int64)] * P for _ in range(P)]
+        for p in range(P):
+            sel = owner_rows == p
+            nbr_p, pos_p = nbr[sel], pos[sel]
+            vals = nbr_p[pos_p >= 0].astype(np.int64)
+            remote = np.unique(vals[vals // S != p])
+            owners = remote // S
+            for q in range(P):
+                if q != p:
+                    send_lists[q][p] = remote[owners == q] % S
+            shard_data.append((sel, remote, owners))
+        rmax = max(1, max(
+            (len(send_lists[q][p]) for q in range(P) for p in range(P)),
+            default=1,
+        ))
+        send = np.zeros((P, P, rmax), np.int32)
+        for q in range(P):
+            for p in range(P):
+                L = send_lists[q][p]
+                send[q, p, : len(L)] = L
+        nbr_s = np.zeros((P, Rmax, K), np.int32)
+        pos_s = np.full((P, Rmax, K), -1, np.int32)
+        typ_s = np.zeros((P, Rmax, K), np.int32)
+        # padding rows aggregate zeros into local node S-1 (pos -1 =>
+        # zero scale), keeping per-shard segment ids sorted
+        node_s = np.full((P, Rmax), S - 1, np.int32)
+        for p, (sel, remote, owners) in enumerate(shard_data):
+            # gather-table slot per remote boundary entity
+            slot = np.empty(len(remote), np.int64)
+            for q in range(P):
+                qsel = np.where(owners == q)[0]
+                slot[qsel] = S + q * rmax + np.arange(len(qsel))
+            nbr_p, pos_p = nbr[sel], pos[sel]
+            flat = nbr_p.astype(np.int64).ravel()
+            mapped = np.zeros(flat.shape, np.int64)
+            validf = (pos_p >= 0).ravel()
+            if validf.any():
+                fv = flat[validf]
+                is_local = fv // S == p
+                m = np.where(is_local, fv % S, 0)
+                if len(remote):
+                    ridx = np.clip(
+                        np.searchsorted(remote, fv), 0, len(remote) - 1
+                    )
+                    m = np.where(is_local, m, slot[ridx])
+                mapped[validf] = m
+            n_p = int(sel.sum())
+            nbr_s[p, :n_p] = mapped.reshape(nbr_p.shape)
+            pos_s[p, :n_p] = pos_p
+            typ_s[p, :n_p] = typ[sel]
+            node_s[p, :n_p] = node[sel].astype(np.int64) - p * S
+        out[f"halo_{mode}_send"] = send
+        out[f"halo_{mode}_nbr"] = nbr_s
+        out[f"halo_{mode}_pos"] = pos_s
+        out[f"halo_{mode}_type"] = typ_s
+        out[f"halo_{mode}_node"] = node_s
+    return out
+
+
 class Rgnn(KgeBase):
     """Stack of R-GNN layers (reference: rgnn_encoder.py:1002-1205)."""
 
@@ -347,6 +441,7 @@ class RgnnEncoder(KgeBase):
                          entity_embedder.dim)
         self.use_stale_embeddings = self.get_option("use_stale_embeddings")
         self._graph_np: Optional[Dict[str, np.ndarray]] = None
+        self._halo_mesh = None  # set by prepare_job when vocab-sharded
         self.set_graph(None)
 
     def set_graph(self, triples: Optional[np.ndarray]):
@@ -360,12 +455,31 @@ class RgnnEncoder(KgeBase):
             block_size=self.rgnn.neighbor_block_size,
             num_entities=self.dataset.num_entities(),
         )
+        self._maybe_build_halo()
+
+    def _maybe_build_halo(self):
+        if self._halo_mesh is None or self._graph_np is None:
+            return
+        P = self._halo_mesh.shape["model"]
+        modes = tuple(
+            m for m in self.rgnn.row_block_modes
+            if f"rb_{m}_nbr" in self._graph_np
+        )
+        if P > 1 and modes:
+            self._graph_np.update(build_halo_structures(
+                self._graph_np, modes, P,
+                self.entity_embedder.padded_vocab_size,
+            ))
 
     def graph(self) -> Dict[str, jnp.ndarray]:
-        return {
+        g = {
             k: v if isinstance(v, int) else jnp.asarray(v)
             for k, v in self._graph_np.items()
         }
+        if self._halo_mesh is not None and any(
+                k.startswith("halo_") for k in g):
+            g["halo_mesh"] = self._halo_mesh  # static (not an array)
+        return g
 
     def init_params(self, rng):
         return self.rgnn.init_params(rng)
@@ -389,7 +503,10 @@ class RgnnEncoder(KgeBase):
         return x, r
 
     def prepare_job(self, job, **kwargs):
-        pass
+        mesh = getattr(job, "mesh", None)
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            self._halo_mesh = mesh
+            self._maybe_build_halo()
 
 
 class KgeRgnnModel(KgeModel):

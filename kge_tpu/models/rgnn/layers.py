@@ -400,6 +400,14 @@ class MessagePassingLayer(RgnnLayerBase):
             h_i = jnp.take(x, node, axis=0)
             mw_table = (params[f"w_msgweight_h{head}"]
                         if self.message_weight else None)
+        if (self.hoistable and graph.get("halo_mesh") is not None
+                and f"halo_{rb_key}_nbr" in graph):
+            out = self._halo_rowblock(
+                graph, rb_key, xw, rw, scale, graph["halo_mesh"]
+            )
+            if rel_term is not None:
+                out = out - rel_term
+            return out
         if (self.hoistable and rw is None
                 and not self.learned_relation_weight
                 and f"rb_{rb_key}_trow" in graph):
@@ -435,6 +443,67 @@ class MessagePassingLayer(RgnnLayerBase):
         if rel_term is not None:
             out = out - rel_term
         return out
+
+    def _halo_rowblock(self, graph, rb_key, xw, rw, scale,
+                       mesh) -> jnp.ndarray:
+        """Edge-partitioned aggregation under a vocab-sharded mesh:
+        each shard owns the row blocks of its own entities, exchanges
+        ONLY the cross-shard boundary neighbor embeddings (one
+        all_to_all of the host-deduplicated send sets,
+        encoder.build_halo_structures; same-shard neighbors gather
+        straight from the local table slice) and segment-sums locally.
+        Replaces GSPMD's whole-table all-gather for the per-edge
+        gathers; backward differentiates through the all_to_all (its
+        transpose is the reverse exchange). Per-edge scalars (scale)
+        stay replicated — they are O(E), not O(E*d)."""
+        from jax.sharding import PartitionSpec as PS
+
+        send = graph[f"halo_{rb_key}_send"]
+        nbrh = graph[f"halo_{rb_key}_nbr"]
+        posh = graph[f"halo_{rb_key}_pos"]
+        typh = graph[f"halo_{rb_key}_type"]
+        nodeh = graph[f"halo_{rb_key}_node"]
+        S = int(graph["halo_shard_size"])
+        Pn = nbrh.shape[0]
+        Npad = Pn * S
+        d = xw.shape[1]
+        K = nbrh.shape[2]
+        N = self.num_entities
+        xw_pad = jnp.pad(xw, ((0, Npad - xw.shape[0]), (0, 0)))
+        has_rw = rw is not None
+        rw_arg = rw if has_rw else jnp.zeros((1, d), xw.dtype)
+
+        def local(xw_l, send_l, nbr_l, pos_l, typ_l, node_l, sc, rw_t):
+            # xw_l [S, d]; send_l [1, P, rmax]. Gather table = local
+            # slice ++ exchanged boundary: slot s<S is the shard's own
+            # row s, slot S + q*rmax + i is shard q's i-th boundary row
+            # for this shard (the q==self lane is a device-local copy).
+            send_buf = jnp.take(xw_l, send_l[0], axis=0)
+            halo = jax.lax.all_to_all(send_buf, "model", 0, 0)
+            tab = jnp.concatenate([xw_l, halo.reshape(-1, d)], axis=0)
+            acc = jnp.zeros((nbr_l.shape[1], d), xw_l.dtype)
+            for k in range(K):
+                p_ = pos_l[0, :, k]
+                s_ = jnp.where(
+                    p_ >= 0, jnp.take(sc, jnp.maximum(p_, 0)), 0.0
+                )
+                m = jnp.take(tab, nbr_l[0, :, k], axis=0)
+                if has_rw:
+                    m = m - jnp.take(rw_t, typ_l[0, :, k], axis=0)
+                acc = acc + m * s_[:, None]
+            return segment_sum(acc, node_l[0], S,
+                               indices_are_sorted=True)
+
+        out = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(PS("model", None), PS("model", None, None),
+                      PS("model", None, None), PS("model", None, None),
+                      PS("model", None, None), PS("model", None),
+                      PS(), PS()),
+            out_specs=PS("model", None),
+            check_vma=False,
+        )(xw_pad, send, nbrh, posh, typh, nodeh, scale, rw_arg)
+        return out[:N]
 
     def _attention_rb_keys(self) -> Tuple[str, ...]:
         """Row-block edge-set keys the attention path needs (non-loop

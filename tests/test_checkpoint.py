@@ -118,3 +118,29 @@ def test_pretrained_initialization(tmp_path):
         np.asarray(job2.params["entity_embedder"]["weights"]),
         rtol=1e-6,
     )
+
+
+def test_unpackaged_checkpoint_missing_dataset_raises(tmp_path):
+    """A NON-packaged checkpoint (no embedded id maps) whose dataset
+    folder is gone must surface the original FileNotFoundError, not
+    quietly build a map-less Dataset that fails confusingly later."""
+    import shutil
+
+    ds_copy = str(tmp_path / "ds")
+    shutil.copytree(get_dataset_folder("dataset_test"), ds_copy)
+    config = create_config("dataset_test", model="complex")
+    config.set("train.type", "1vsAll")
+    config.set("train.batch_size", 4)
+    config.set("train.max_epochs", 1)
+    config.set("valid.every", 0)
+    config.set("lookup_embedder.dim", 8)
+    config.folder = str(tmp_path / "run")
+    os.makedirs(config.folder)
+    config.init_folder()
+    dataset = Dataset.create(config, ds_copy)
+    job = TrainingJob.create(config, dataset)
+    job.run()
+    checkpoint = load_checkpoint(config.checkpoint_file(1))
+    shutil.rmtree(ds_copy)
+    with pytest.raises(FileNotFoundError):
+        Dataset.create_from(checkpoint)
