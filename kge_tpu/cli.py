@@ -150,7 +150,14 @@ def main():
     if args.command == "dump":
         from kge_tpu.utils.dump import dump
 
-        dump(args)
+        try:
+            dump(args)
+        except BrokenPipeError:
+            # downstream pager/head closed the pipe; exit quietly like
+            # any well-behaved unix filter
+            import sys
+
+            sys.stderr.close()
         return
     if args.command == "package":
         from kge_tpu.utils.package import package_model

@@ -131,7 +131,11 @@ def _bwd(interpret, res, g):
     # recompute scores (cheaper than materializing them as residuals for
     # large batches; one [B, D] x [D, N] matmul)
     scores = qf @ cf.T
-    p = counts * jnp.exp(scores - lse[:, None])          # [B, N]
+    # mask exactly like the forward: an undrawn candidate (counts 0) can
+    # score arbitrarily above lse, where exp overflows and 0*inf = NaN
+    p = jnp.where(
+        counts > 0, counts * jnp.exp(scores - lse[:, None]), 0.0
+    )                                                    # [B, N]
     p_pos = jnp.exp(pos.astype(jnp.float32) - lse)       # [B]
     gw = g * w.astype(jnp.float32)
     d_pos = gw * (p_pos - 1.0)

@@ -12,6 +12,7 @@ so resume just refits.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -121,7 +122,12 @@ class AxSearchJob(AutoSearchJob):
         def parse_expr(expr: str) -> Tuple[Dict[str, float], float]:
             coeffs: Dict[str, float] = {}
             const = 0.0
-            for term in expr.replace("-", "+-").split("+"):
+            # split into +/- terms, EXCEPT scientific-notation exponents
+            # ("1e-3", "2E+2*a"): those are digit/dot + e/E + sign
+            for term in re.split(
+                r"(?<![0-9.][eE])\+",
+                re.sub(r"(?<![0-9.][eE])-", "+-", expr),
+            ):
                 term = term.strip()
                 if not term:
                     continue

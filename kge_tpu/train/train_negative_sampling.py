@@ -365,15 +365,17 @@ class TrainingJobNegativeSampling(TrainingJob):
                         # HERE because a device-side scatter-add would
                         # serialize (TPU scatters are the slowest op in
                         # the step by an order of magnitude)
-                        counts = np.zeros(
-                            (len(triples), len(ns.unique)), np.float32
-                        )
-                        np.add.at(
-                            counts,
-                            (np.arange(len(triples))[:, None], ns.gather),
-                            1.0,
-                        )
-                        batch[f"neg_counts_{key}"] = counts
+                        # vectorized bincount (np.add.at's unbuffered
+                        # fancy-index path is ~10x slower and this is on
+                        # the critical path between dispatches)
+                        B_, U_ = len(triples), len(ns.unique)
+                        flat = (
+                            np.arange(B_, dtype=np.int64)[:, None] * U_
+                            + ns.gather
+                        ).ravel()
+                        batch[f"neg_counts_{key}"] = np.bincount(
+                            flat, minlength=B_ * U_
+                        ).reshape(B_, U_).astype(np.float32)
                     else:
                         batch[f"neg_gather_{key}"] = ns.gather
                 else:

@@ -177,10 +177,16 @@ def dump_trace(args):
             epoch_of_last=max_epoch,
         )
         for e in chain:
-            if e.get("job") == "train":
-                cap = job_epochs.get(e.get("job_id"), float("inf"))
-                if (e.get("epoch") or 0) > cap:
-                    continue
+            # cap train entries by their own job's surviving epochs, and
+            # eval entries by the chain job they are attached to — a
+            # predecessor's validations of re-trained epochs must drop
+            # with the train entries (reference kge/util/dump.py:442-448)
+            jid = (e.get("job_id") if e.get("job") == "train"
+                   else e.get("parent_job_id")
+                   or e.get("resumed_from_job_id"))
+            cap = job_epochs.get(jid, float("inf"))
+            if (e.get("epoch") or 0) > cap:
+                continue
             if max_epoch is not None and (e.get("epoch") or 0) > max_epoch:
                 continue
             selected.append(e)

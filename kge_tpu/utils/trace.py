@@ -83,19 +83,26 @@ class Trace:
         job_epochs: Dict[str, Any] = {}
         current = job_id
         added_last = False
+        # grep + parse the eval entries ONCE; a k-deep resume chain would
+        # otherwise pay k full-file passes over every eval line
+        all_evals: Optional[List[Dict[str, Any]]] = None
         while current:
             # eval entries attached to this chain job (child validations
             # via parent_job_id, standalone evals via resumed_from_job_id)
             if valid or test:
+                if all_evals is None:
+                    all_evals = [
+                        e for e in Trace.grep_entries(
+                            tracefile, [" job: eval"]
+                        )
+                        if e.get("scope") in scopes
+                        and ((valid and e.get("split") in ("valid", "train"))
+                             or (test and e.get("split") == "test"))
+                    ]
                 evals = [
-                    e for e in Trace.grep_entries(
-                        tracefile, [" job: eval"]
-                    )
-                    if e.get("scope") in scopes
-                    and (e.get("parent_job_id") == current
-                         or e.get("resumed_from_job_id") == current)
-                    and ((valid and e.get("split") in ("valid", "train"))
-                         or (test and e.get("split") == "test"))
+                    e for e in all_evals
+                    if e.get("parent_job_id") == current
+                    or e.get("resumed_from_job_id") == current
                 ]
                 entries = evals + entries
             train_entries = [

@@ -99,6 +99,9 @@ def test_dump_trace_resume_chain(trained_folder):
     assert train_epochs == [1, 2, 3, 4, 5], train_epochs
     # three distinct jobs contributed to the stitched series
     assert len({row["job_id"] for row in rows}) == 3
+
+
+def test_package_and_load(trained_folder):
     out = os.path.join(trained_folder, "model.pt")
     r = _run([
         "package", os.path.join(trained_folder, "checkpoint_best.pt"),
@@ -116,3 +119,50 @@ def test_dump_trace_resume_chain(trained_folder):
     model, params, state = KgeModel.create_from(checkpoint)
     scores = model.score_sp(params, jnp.asarray([0]), jnp.asarray([0]))
     assert np.asarray(scores).shape == (1, model.dataset.num_entities())
+
+
+def test_dump_trace_chain_drops_retrained_eval_entries(tmp_path, capsys):
+    """A predecessor's validation entries for epochs its successor
+    RE-TRAINED must drop with the train entries (reference
+    kge/util/dump.py:442-448), not linger as duplicate epoch rows."""
+    import argparse
+
+    import yaml as _yaml
+
+    from kge_tpu.utils.dump import dump_trace
+
+    lines = []
+
+    def ent(**kw):
+        lines.append(_yaml.dump(
+            kw, default_flow_style=True, width=float("inf")).strip())
+
+    for ep in range(1, 6):
+        ent(job="train", job_id="A", scope="epoch", epoch=ep, avg_loss=0.1)
+        ent(job="eval", job_id=f"AV{ep}", parent_job_id="A", scope="epoch",
+            epoch=ep, split="valid", mean_reciprocal_rank=0.5)
+    for ep in range(4, 6):
+        ent(job="train", job_id="B", scope="epoch", epoch=ep, avg_loss=0.2,
+            resumed_from_job_id="A")
+        ent(job="eval", job_id=f"BV{ep}", parent_job_id="B", scope="epoch",
+            epoch=ep, split="valid", mean_reciprocal_rank=0.6)
+    trace = tmp_path / "trace.yaml"
+    trace.write_text("\n".join(lines) + "\n")
+    args = argparse.Namespace(
+        source=str(trace), job_id="B", train=True, valid=True, test=False,
+        search=False, yaml=True, keysfile=None, keys=None, max_epoch=None,
+        example=False, batch=False, checkpoint=False, truncate=False,
+        no_header=False, no_default_keys=False, list_keys=False,
+    )
+    dump_trace(args)
+    out = [_yaml.safe_load(ln)
+           for ln in capsys.readouterr().out.strip().splitlines()]
+    trains_a = [e["epoch"] for e in out
+                if e.get("job") == "train" and e.get("job_id") == "A"]
+    evals_a = [e["epoch"] for e in out
+               if e.get("job") == "eval" and e.get("parent_job_id") == "A"]
+    evals_b = [e["epoch"] for e in out
+               if e.get("job") == "eval" and e.get("parent_job_id") == "B"]
+    assert sorted(trains_a) == [1, 2, 3]
+    assert sorted(evals_a) == [1, 2, 3], evals_a
+    assert sorted(evals_b) == [4, 5]

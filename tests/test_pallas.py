@@ -108,6 +108,29 @@ def test_shared_ce_loss_kernel_matches_xla():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_shared_ce_loss_grad_finite_with_extreme_undrawn_candidate():
+    """An UNDRAWN candidate (counts 0) whose score exceeds the row's
+    logsumexp by >88 must not produce NaN gradients: the backward has
+    to mask exp() exactly like the forward does (0 * inf = NaN
+    otherwise), or diverging runs poison the tables silently."""
+    from kge_tpu.ops.pallas.negsamp_loss import shared_ce_loss
+
+    B, N, D = 4, 6, 8
+    q = jnp.ones((B, D)) * 10.0
+    cand = jnp.ones((N, D)).at[0].set(20.0)  # q.cand[0] = 1600 >> lse
+    pos = jnp.zeros((B,))
+    counts = jnp.zeros((B, N)).at[:, 1:].set(1.0)  # cand 0 never drawn
+    w = jnp.ones((B,))
+    loss = shared_ce_loss(q, cand, pos, counts, w, True)
+    assert np.isfinite(float(loss))
+    grads = jax.grad(
+        lambda a, b, c: shared_ce_loss(a, b, c, counts, w, True),
+        argnums=(0, 1, 2),
+    )(q, cand, pos)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all(), "NaN/inf gradient"
+
+
 def test_fused_negsamp_loss_matches_unfused_step():
     """The fused kernel path must reproduce the unfused shared-negative
     loss AND its parameter gradients on the same batch."""

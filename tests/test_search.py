@@ -236,6 +236,14 @@ def test_constraint_parser():
     assert parsed[1] == ({"a": 1.0, "b": -1.0}, ">=", 0.0)
     assert parsed[2] == ({"a": 1.0, "b": -1.0}, "<=", 0.0)
     assert parsed[3] == ({"a": 1.0, "b": -2.0}, "<=", -1.5)
+    # scientific-notation constants must not split at the exponent sign
+    # (a naive "-" -> "+-" rewrite turns "1e-3" into phantom params)
+    parsed = AxSearchJob._parse_constraints(
+        ["a <= 1e-3", "2e-2*a + b >= 0", "a - 1E+2*b <= 2.5e-1"]
+    )
+    assert parsed[0] == ({"a": 1.0}, "<=", 1e-3)
+    assert parsed[1] == ({"a": 2e-2, "b": 1.0}, ">=", 0.0)
+    assert parsed[2] == ({"a": 1.0, "b": -100.0}, "<=", 0.25)
 
 
 def test_sharded_trial_farm_two_hosts_shared_fs(tmp_path):
