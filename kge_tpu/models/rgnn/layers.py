@@ -822,8 +822,12 @@ class RgcnLayer(RgnnLayerBase):
     normalization (reference TorchRgcnLayer, rgnn_encoder.py:600-906).
 
     The reference's vertical/horizontal sparse stackings are the same
-    math with different normalization keys: vertical normalizes by the
-    (rel, source) out-degree, horizontal by the (rel, target) in-degree.
+    math in different compute layouts; BOTH normalize each edge by
+    1 / |{same-relation edges of its aggregation node}| — the paper's
+    1/c_{i,r}. (Horizontal stacking gets there via a transpose trick
+    plus a swap of the forward/inverse halves' column sums,
+    rgnn_encoder.py:694-702; verified numerically against the
+    reference in tests/test_reference_parity.py.)
     """
 
     def __init__(self, name, config, dataset, in_dim, out_dim, options):
@@ -881,11 +885,11 @@ class RgcnLayer(RgnnLayerBase):
         )
         src_all, nbr_all = edge_index[0], edge_index[1]
 
-        # per-(rel, node) mean normalization via host-built dense group
-        # ids (a [R*N] count buffer would be multi-GB at scale)
-        orient = "vert" if self.vertical_stacking else "horiz"
-        groups = graph[f"rgcn_groups_{orient}"]
-        num_groups = graph[f"rgcn_num_groups_{orient}"]
+        # per-(rel, aggregation-node) mean normalization via host-built
+        # dense group ids (a [R*N] count buffer would be multi-GB at
+        # scale); identical for both stackings — see class docstring
+        groups = graph["rgcn_groups_vert"]
+        num_groups = graph["rgcn_num_groups_vert"]
         counts = segment_sum(edge_mask, groups, num_groups)
         self_counts = self_mask  # self edges: one per node
 

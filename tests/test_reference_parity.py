@@ -17,8 +17,15 @@ weights into both frameworks, and asserts:
       negatives), 1vsAll (reference kge/job/train_*.py) — via the
       training-loss evaluation job on both sides.
 
-Model matrix: ComplEx, DistMult, TransE, RotatE, RESCAL,
-ConvE (reciprocal-wrapped), CompGCN.
+Model matrix — the COMPLETE zoo: ComplEx, DistMult, TransE, RotatE,
+RESCAL, CP, SimplE, TransH, RelationalTucker3, ConvE and Transformer
+(reciprocal-wrapped), and all four GNN presets (CompGCN, RGCN, RAGAT,
+WGCN).
+
+Reference quirks pinned away for determinism: TorchRgcnLayer applies
+edge/self-edge dropout UNCONDITIONALLY (rgnn_encoder.py:672-685 draws
+torch.rand with no self.training guard), so the rgcn case sets both
+dropouts to 0; stale-embedding caches are disabled on GNN presets.
 """
 
 from __future__ import annotations
@@ -49,14 +56,66 @@ MODELS = [
     ("transe", {}),
     ("rotate", {}),
     ("rescal", {}),
+    ("cp", {}),
+    ("simple", {}),
+    ("transh", {}),
     (
         "reciprocal_relations_model",
         {"reciprocal_relations_model.base_model.type": "conve"},
+    ),
+    (
+        "reciprocal_relations_model",
+        {
+            "reciprocal_relations_model.base_model.type": "transformer",
+            "transformer.encoder.dim_feedforward": 64,
+            "transformer.encoder.nhead": 4,
+            "transformer.encoder.num_layers": 2,
+        },
     ),
     # stale-embedding caching is a train-time optimization; the reference
     # crashes if direction="o" is scored before any "s" call primes the
     # cache, so pin it off for apples-to-apples scoring
     ("compgcn", {"compgcn.encoder.use_stale_embeddings": False}),
+    # edge/self-edge dropout pinned to 0: the reference TorchRgcnLayer
+    # applies them UNCONDITIONALLY (rgnn_encoder.py:672-685 has no
+    # self.training guard — torch.rand fires at eval too), so its eval
+    # scores are only deterministic at dropout 0
+    (
+        "rgcn",
+        {
+            "rgcn.entity_embedder.dim": DIM,
+            "rgcn.relation_embedder.dim": DIM,
+            "rgcn.encoder.use_stale_embeddings": False,
+            "rgcn.encoder.num_blocks_or_bases": 4,
+            "rgcn.encoder.edge_dropout": 0.0,
+            "rgcn.encoder.self_edge_dropout": 0.0,
+        },
+    ),
+    (
+        "wgcn",
+        {
+            "wgcn.entity_embedder.dim": DIM,
+            "wgcn.encoder.use_stale_embeddings": False,
+            "wgcn.decoder.base_model.entity_embedder.dim": DIM,
+            "wgcn.decoder.base_model.relation_embedder.dim": DIM,
+        },
+    ),
+    (
+        "relational_tucker3",
+        {
+            "relational_tucker3.entity_embedder.dim": DIM,
+        },
+    ),
+    (
+        "ragat",
+        {
+            "ragat.entity_embedder.dim": DIM,
+            "ragat.relation_embedder.dim": DIM,
+            "ragat.encoder.use_stale_embeddings": False,
+            "ragat.decoder.base_model.entity_embedder.dim": DIM,
+            "ragat.decoder.base_model.relation_embedder.dim": DIM,
+        },
+    ),
 ]
 
 
@@ -221,6 +280,105 @@ def inject_ref_weights(model_name, params, state, ref_model):
             _set_leaf(layer, "w_in_h0", sd[pre + "weights.w_in_head_1"])
             _set_leaf(layer, "w_out_h0", sd[pre + "weights.w_out_head_1"])
             _set_leaf(layer, "w_loop_h0", sd[pre + "weights.w_loop_head_1"])
+    elif model_name == "wgcn":
+        _set_leaf(
+            params["entity_embedder"], "weights",
+            sd["_encoder.entity_embedder._embeddings.weight"],
+        )
+        _set_leaf(
+            params["relation_embedder"], "weights",
+            sd["_encoder.relation_embedder._embeddings.weight"],
+        )
+        conve_scorer(params["scorer"], "_scorer.")
+        for i, layer in enumerate(params["encoder"]["layers"]):
+            pre = f"_encoder.rgnn.gnn_layers.{i}."
+            _set_leaf(layer, "weight", sd[pre + "weight"])
+            _set_leaf(layer, "bias", sd[pre + "bias"])
+            _set_leaf(layer, "alpha", sd[pre + "alpha.weight"])
+            _set_leaf(layer, "bn_scale", sd[pre + "bn.weight"])
+            _set_leaf(layer, "bn_bias", sd[pre + "bn.bias"])
+    elif model_name == "relational_tucker3":
+        _set_leaf(
+            params["entity_embedder"], "weights",
+            sd["_entity_embedder._embeddings.weight"],
+        )
+        _set_leaf(
+            params["relation_embedder"]["base"], "weights",
+            sd["_relation_embedder.base_embedder._embeddings.weight"],
+        )
+        _set_leaf(
+            params["relation_embedder"], "projection",
+            sd["_relation_embedder.projection.weight"],
+        )
+    elif model_name == "ragat":
+        _set_leaf(
+            params["entity_embedder"], "weights",
+            sd["_encoder.entity_embedder._embeddings.weight"],
+        )
+        _set_leaf(
+            params["relation_embedder"], "weights",
+            sd["_encoder.relation_embedder._embeddings.weight"],
+        )
+        conve_scorer(params["scorer"], "_scorer.")
+        for i, layer in enumerate(params["encoder"]["layers"]):
+            pre = f"_encoder.rgnn.gnn_layers.{i}."
+            _set_leaf(layer, "w_rel", sd[pre + "w_rel"])
+            _set_leaf(layer, "loop_rel", sd[pre + "loop_rel"])
+            _set_leaf(layer, "bn_scale", sd[pre + "bn.weight"])
+            _set_leaf(layer, "bn_bias", sd[pre + "bn.bias"])
+            h = 0
+            while f"w_in_h{h}" in layer:
+                hp = f"{pre}weights."
+                _set_leaf(layer, f"w_in_h{h}", sd[hp + f"w_in_head_{h+1}"])
+                _set_leaf(layer, f"w_out_h{h}",
+                          sd[hp + f"w_out_head_{h+1}"])
+                _set_leaf(layer, f"w_loop_h{h}",
+                          sd[hp + f"w_loop_head_{h+1}"])
+                _set_leaf(layer, f"w_msgweight_h{h}",
+                          sd[hp + f"w_message_weight_head_{h+1}"])
+                _set_leaf(layer, f"w_att_h{h}", sd[hp + f"w_att_{h+1}"])
+                h += 1
+    elif model_name == "rgcn":
+        _set_leaf(
+            params["entity_embedder"], "weights",
+            sd["_encoder.entity_embedder._embeddings.weight"],
+        )
+        _set_leaf(
+            params["relation_embedder"], "weights",
+            sd["_encoder.relation_embedder._embeddings.weight"],
+        )
+        for i, layer in enumerate(params["encoder"]["layers"]):
+            pre = f"_encoder.rgnn.gnn_layers.{i}."
+            _set_leaf(layer, "bias", sd[pre + "bias"])
+            _set_leaf(layer, "blocks", sd[pre + "blocks"])
+            _set_leaf(layer, "block_self", sd[pre + "block_self"])
+    elif "_scorer.cls_emb" in sd:  # reciprocal-wrapped Transformer
+        _set_leaf(
+            params["entity_embedder"], "weights",
+            sd["_entity_embedder._embeddings.weight"],
+        )
+        _set_leaf(
+            params["relation_embedder"], "weights",
+            sd["_relation_embedder._embeddings.weight"],
+        )
+        dst = params["scorer"]
+        _set_leaf(dst, "cls", sd["_scorer.cls_emb"])
+        _set_leaf(dst, "sub_type", sd["_scorer.sub_type_emb"])
+        _set_leaf(dst, "rel_type", sd["_scorer.rel_type_emb"])
+        for i, layer in enumerate(dst["layers"]):
+            lp = f"_scorer.encoder.layers.{i}."
+            _set_leaf(layer, "qkv_w", sd[lp + "self_attn.in_proj_weight"])
+            _set_leaf(layer, "qkv_b", sd[lp + "self_attn.in_proj_bias"])
+            _set_leaf(layer, "out_w", sd[lp + "self_attn.out_proj.weight"])
+            _set_leaf(layer, "out_b", sd[lp + "self_attn.out_proj.bias"])
+            _set_leaf(layer, "lin1_w", sd[lp + "linear1.weight"])
+            _set_leaf(layer, "lin1_b", sd[lp + "linear1.bias"])
+            _set_leaf(layer, "lin2_w", sd[lp + "linear2.weight"])
+            _set_leaf(layer, "lin2_b", sd[lp + "linear2.bias"])
+            _set_leaf(layer, "ln1_scale", sd[lp + "norm1.weight"])
+            _set_leaf(layer, "ln1_bias", sd[lp + "norm1.bias"])
+            _set_leaf(layer, "ln2_scale", sd[lp + "norm2.weight"])
+            _set_leaf(layer, "ln2_bias", sd[lp + "norm2.bias"])
     elif "_scorer.convolution.weight" in sd:  # reciprocal-wrapped ConvE
         _set_leaf(
             params["entity_embedder"], "weights",
@@ -263,7 +421,11 @@ EVAL_KEYS = [
 
 
 @pytest.mark.parametrize("model_name,overrides", MODELS,
-                         ids=[m for m, _ in MODELS])
+                         ids=[
+                             o[f"{m}.base_model.type"] + "-reciprocal"
+                             if m == "reciprocal_relations_model" else m
+                             for m, o in MODELS
+                         ])
 def test_score_and_eval_parity(ref, dataset_folder, tmp_path, model_name,
                                overrides):
     import jax.numpy as jnp
