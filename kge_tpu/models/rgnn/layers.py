@@ -959,10 +959,13 @@ class WeightedGCNLayer(RgnnLayerBase):
             "weight": init_weight(
                 k1, (self.in_dim, self.out_dim), self.weight_init
             ),
-            # note: the reference sets padding_idx=0 on alpha, which
-            # permanently zeroes relation 0's weight; we keep all
-            # relations trainable (documented deviation)
-            "alpha": init_weight(k2, (self.num_relations + 1, 1), "normal_"),
+            # the reference declares alpha as Embedding(..., padding_idx=0)
+            # (rgnn_encoder.py:938): row 0 starts at zero and never
+            # receives gradient, so relation 0 contributes nothing; apply
+            # pins the row to reproduce that exactly
+            "alpha": init_weight(
+                k2, (self.num_relations + 1, 1), "normal_"
+            ).at[0].set(0.0),
             "bn_scale": jnp.ones(self.out_dim),
             "bn_bias": jnp.zeros(self.out_dim),
         }
@@ -1000,7 +1003,10 @@ class WeightedGCNLayer(RgnnLayerBase):
             jnp.full((N,), self.num_relations - 1, dtype=edge_type.dtype),
         ])
         mask = jnp.concatenate([jnp.ones(E, x.dtype), self_mask])
-        alpha = jnp.take(params["alpha"], types, axis=0)[:, 0] * mask
+        # torch padding_idx=0 semantics: row 0 is pinned to zero and gets
+        # no gradient (the multiply-by-zero kills both value and grad)
+        alpha_table = params["alpha"].at[0].multiply(0.0)
+        alpha = jnp.take(alpha_table, types, axis=0)[:, 0] * mask
         xw = x @ params["weight"]
         # symmetric adjacency: A + A^T
         msg = jnp.take(xw, dst, axis=0) * alpha[:, None]

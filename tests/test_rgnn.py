@@ -311,3 +311,30 @@ def test_rel_bucket_padding_bounded_on_skewed_graphs():
     E = graph["edge_index"].shape[1]
     padded = graph["rel_buckets"].size
     assert padded / E < 1.5, f"padding factor {padded / E:.2f}"
+
+
+def test_wgcn_alpha_padding_row_zero_and_frozen():
+    """torch declares WGCN's alpha as Embedding(padding_idx=0)
+    (reference rgnn_encoder.py:938): row 0 starts at zero, receives no
+    gradient, and relation 0's forward edges contribute nothing."""
+    from kge_tpu.models.rgnn.layers import WeightedGCNLayer
+
+    config = _make_config("wgcn")
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    model = KgeModel.create(config, dataset)
+    params = model.init_params(jax.random.PRNGKey(5))
+    state = model.init_state()
+    layer0 = params["encoder"]["layers"][0]
+    assert np.allclose(np.asarray(layer0["alpha"])[0], 0.0)
+
+    def loss(p):
+        scores = model.score_sp(
+            p, jnp.asarray([0, 1]), jnp.asarray([0, 1]),
+            ctx=Ctx(state=state),
+        )
+        return jnp.sum(scores ** 2)
+
+    g = jax.grad(loss)(params)
+    g0 = np.asarray(g["encoder"]["layers"][0]["alpha"])
+    assert np.allclose(g0[0], 0.0), "padding row received gradient"
+    assert np.abs(g0[1:]).sum() > 0, "non-padding alpha rows have no grad"
