@@ -557,3 +557,79 @@ def test_training_loss_parity(ref, dataset_folder, tmp_path, train_type,
         ref_trace["avg_loss"], trace["avg_loss"], rtol=1e-4,
         err_msg=f"{train_type} avg training loss diverges from reference",
     )
+
+
+@pytest.mark.parametrize("model_name,overrides", MODELS,
+                         ids=[
+                             o[f"{m}.base_model.type"] + "-reciprocal"
+                             if m == "reciprocal_relations_model" else m
+                             for m, o in MODELS
+                         ])
+def test_gradient_parity(ref, dataset_folder, tmp_path, model_name,
+                         overrides):
+    """Same weights + same loss -> matching embedding-table GRADIENTS.
+
+    The entity/relation table gradients flow through every layer's
+    backward, so this validates the whole reverse chain — including the
+    custom row-block VJPs, the C-matrix relation rewrite, and the fused
+    kernels' backward formulas — against torch autograd
+    (loss = 0.5 * sum(score_sp^2) over a fixed batch)."""
+    import jax
+    import jax.numpy as jnp
+    from kge_tpu.models import Ctx
+
+    torch = ref.torch
+    ref_cfg, ref_ds, ref_model = make_ref_model(
+        ref, dataset_folder, tmp_path, model_name, overrides
+    )
+    cfg, ds, model, params = make_our_model(dataset_folder, model_name,
+                                            overrides)
+    state = model.init_state()
+    params = inject_ref_weights(model_name, params, state, ref_model)
+
+    s = torch.arange(0, N_ENT, 2)
+    p = torch.arange(0, len(s)) % N_REL
+
+    ref_model.zero_grad(set_to_none=True)
+    scores = ref_model.score_sp(s, p)
+    (0.5 * (scores.float() ** 2).sum()).backward()
+    named = dict(ref_model.named_parameters())
+
+    def ref_grad(*keys):
+        grads = [named[k].grad for k in keys if k in named
+                 and named[k].grad is not None]
+        assert grads, f"no reference grad among {keys}"
+        # shared tensors appear under several names; any one carries the
+        # accumulated grad
+        return grads[0].detach().numpy()
+
+    # shared tensors dedupe to ONE name in named_parameters (e.g. the
+    # reciprocal wrapper's embedders live under _base_model.*)
+    ge_ref = ref_grad("_encoder.entity_embedder._embeddings.weight",
+                      "_entity_embedder._embeddings.weight",
+                      "_base_model._entity_embedder._embeddings.weight")
+    gr_ref = ref_grad("_encoder.relation_embedder._embeddings.weight",
+                      "_relation_embedder.base_embedder._embeddings.weight",
+                      "_relation_embedder._embeddings.weight",
+                      "_base_model._relation_embedder._embeddings.weight")
+
+    js, jp = jnp.asarray(s.numpy()), jnp.asarray(p.numpy())
+
+    def loss_fn(pp):
+        sc = model.score_sp(pp, js, jp, ctx=Ctx(state=state))
+        return 0.5 * jnp.sum(sc.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    ge_our = np.asarray(g["entity_embedder"]["weights"])
+    rtree = g["relation_embedder"]
+    gr_our = np.asarray(
+        rtree["base"]["weights"] if "base" in rtree else rtree["weights"]
+    )
+    np.testing.assert_allclose(
+        ge_ref, ge_our, rtol=1e-3, atol=1e-4,
+        err_msg=f"{model_name} entity-table gradient diverges",
+    )
+    np.testing.assert_allclose(
+        gr_ref, gr_our, rtol=1e-3, atol=1e-4,
+        err_msg=f"{model_name} relation-table gradient diverges",
+    )
