@@ -197,15 +197,17 @@ def build_graph_buffers(triples: np.ndarray, num_relations: int,
             np.stack(rows) if rows else np.full((1, emax), -1, np.int32)
         )
         graph["rel_bucket_ids"] = np.asarray(row_rels or [0], dtype=np.int32)
-        # (relation, node) group ids for RGCN mean normalization: dense
-        # group indices avoid materializing a [R*N] count buffer on
-        # device (multi-GB at Wikidata scale)
-        for orient, nodes in (("vert", edge_index[0]), ("horiz", edge_index[1])):
-            enc = edge_type.astype(np.int64) * (int(nodes.max()) + 1 if
-                                                len(nodes) else 1) + nodes
-            uniq, inv = np.unique(enc, return_inverse=True)
-            graph[f"rgcn_groups_{orient}"] = inv.astype(np.int32)
-            graph[f"rgcn_num_groups_{orient}"] = int(len(uniq))
+        # (relation, aggregation-node) group ids for RGCN mean
+        # normalization — identical for both sparse stackings (see
+        # layers.RgcnLayer docstring): dense group indices avoid
+        # materializing a [R*N] count buffer on device (multi-GB at
+        # Wikidata scale)
+        nodes = edge_index[0]
+        enc = edge_type.astype(np.int64) * (int(nodes.max()) + 1 if
+                                            len(nodes) else 1) + nodes
+        uniq, inv = np.unique(enc, return_inverse=True)
+        graph["rgcn_groups_vert"] = inv.astype(np.int32)
+        graph["rgcn_num_groups_vert"] = int(len(uniq))
     return graph
 
 

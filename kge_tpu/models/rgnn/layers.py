@@ -826,8 +826,10 @@ class RgcnLayer(RgnnLayerBase):
     1 / |{same-relation edges of its aggregation node}| — the paper's
     1/c_{i,r}. (Horizontal stacking gets there via a transpose trick
     plus a swap of the forward/inverse halves' column sums,
-    rgnn_encoder.py:694-702; verified numerically against the
-    reference in tests/test_reference_parity.py.)
+    rgnn_encoder.py:694-702.) Both legs are verified numerically
+    against the reference in tests/test_reference_parity.py, so the
+    ``torch_rgcn_args.vertical_stacking`` flag is accepted but has no
+    effect here.
     """
 
     def __init__(self, name, config, dataset, in_dim, out_dim, options):
@@ -835,7 +837,6 @@ class RgcnLayer(RgnnLayerBase):
         self.num_relations = dataset.num_relations() * 2 + 1  # + self edge
         self.weight_decomposition = options["weight_decomposition"]
         self.num_blocks_or_bases = options["num_blocks_or_bases"]
-        self.vertical_stacking = options["torch_rgcn_args"]["vertical_stacking"]
 
     def init_params(self, rng) -> Dict[str, Any]:
         params: Dict[str, Any] = {}

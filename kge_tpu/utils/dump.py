@@ -181,9 +181,17 @@ def dump_trace(args):
             # eval entries by the chain job they are attached to — a
             # predecessor's validations of re-trained epochs must drop
             # with the train entries (reference kge/util/dump.py:442-448)
-            jid = (e.get("job_id") if e.get("job") == "train"
-                   else e.get("parent_job_id")
-                   or e.get("resumed_from_job_id"))
+            if e.get("job") == "train":
+                jid = e.get("job_id")
+            else:
+                # an eval entry may carry BOTH fields; cap by whichever
+                # attached it to the chain (i.e. the one in job_epochs)
+                jid = next(
+                    (x for x in (e.get("resumed_from_job_id"),
+                                 e.get("parent_job_id"))
+                     if x in job_epochs),
+                    None,
+                )
             cap = job_epochs.get(jid, float("inf"))
             if (e.get("epoch") or 0) > cap:
                 continue

@@ -91,6 +91,21 @@ MODELS = [
             "rgcn.encoder.self_edge_dropout": 0.0,
         },
     ),
+    # the reference's OTHER sparse-stacking leg (vertical): spmm over the
+    # [R*N, N] stack instead of the transpose-trick horizontal layout —
+    # our unified aggregation must match both
+    (
+        "rgcn",
+        {
+            "rgcn.entity_embedder.dim": DIM,
+            "rgcn.relation_embedder.dim": DIM,
+            "rgcn.encoder.use_stale_embeddings": False,
+            "rgcn.encoder.num_blocks_or_bases": 4,
+            "rgcn.encoder.edge_dropout": 0.0,
+            "rgcn.encoder.self_edge_dropout": 0.0,
+            "rgcn.encoder.torch_rgcn_args.vertical_stacking": True,
+        },
+    ),
     (
         "wgcn",
         {
@@ -117,6 +132,17 @@ MODELS = [
         },
     ),
 ]
+
+
+def _model_id(m, o):
+    if m == "reciprocal_relations_model":
+        return o[f"{m}.base_model.type"] + "-reciprocal"
+    if o.get("rgcn.encoder.torch_rgcn_args.vertical_stacking"):
+        return "rgcn-vertical"
+    return m
+
+
+MODEL_IDS = [_model_id(m, o) for m, o in MODELS]
 
 
 @pytest.fixture(scope="module")
@@ -421,11 +447,7 @@ EVAL_KEYS = [
 
 
 @pytest.mark.parametrize("model_name,overrides", MODELS,
-                         ids=[
-                             o[f"{m}.base_model.type"] + "-reciprocal"
-                             if m == "reciprocal_relations_model" else m
-                             for m, o in MODELS
-                         ])
+                         ids=MODEL_IDS)
 def test_score_and_eval_parity(ref, dataset_folder, tmp_path, model_name,
                                overrides):
     import jax.numpy as jnp
@@ -560,11 +582,7 @@ def test_training_loss_parity(ref, dataset_folder, tmp_path, train_type,
 
 
 @pytest.mark.parametrize("model_name,overrides", MODELS,
-                         ids=[
-                             o[f"{m}.base_model.type"] + "-reciprocal"
-                             if m == "reciprocal_relations_model" else m
-                             for m, o in MODELS
-                         ])
+                         ids=MODEL_IDS)
 def test_gradient_parity(ref, dataset_folder, tmp_path, model_name,
                          overrides):
     """Same weights + same loss -> matching embedding-table GRADIENTS.
