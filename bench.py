@@ -106,8 +106,43 @@ def bench_negsamp(num_entities, num_relations, num_triples, steps,
     return job.batch_size / sec_per_step, sec_per_step, rl
 
 
+def _require_tpu_or_die(timeout_s: float = 180.0):
+    """Fail fast if the TPU tunnel is wedged: backend init over the
+    tunnel can block INDEFINITELY (not error) when the remote side is
+    down, which would hang the whole bench run. Probe device discovery
+    on a daemon thread and exit non-zero on timeout so callers see a
+    clear failure instead of a stall."""
+    import threading
+
+    result = {}
+
+    def probe():
+        import jax
+
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # surfaced below
+            result["error"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(
+            f"bench: TPU backend init did not complete within "
+            f"{timeout_s:.0f}s (tunnel down or busy); aborting",
+            file=sys.stderr,
+        )
+        os._exit(3)
+    if "error" in result:
+        print(f"bench: TPU backend init failed: {result['error']}",
+              file=sys.stderr)
+        os._exit(3)
+
+
 def main():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+    _require_tpu_or_die()
 
     # regime 1: FB15k-237 scale (latency-bound; most-published configs)
     fb_tps, fb_sec, fb_rl = bench_negsamp(
