@@ -14,10 +14,26 @@ import os
 import sys
 
 
+def configure_model(config, model_name):
+    """Model-specific keys shared by the workers and the single-process
+    comparator (tests/test_multihost.py)."""
+    if model_name == "compgcn":
+        config.set("compgcn.decoder.model", "distmult")
+        config.set("compgcn.decoder.type", "distmult")
+        for key in ("compgcn.entity_embedder.dim",
+                    "compgcn.relation_embedder.dim",
+                    "compgcn.decoder.base_model.entity_embedder.dim",
+                    "compgcn.decoder.base_model.relation_embedder.dim"):
+            config.set(key, 16, create=True)
+    else:
+        config.set("lookup_embedder.dim", 16)
+
+
 def main():
     pid, nproc, port, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
     )
+    model_name = sys.argv[5] if len(sys.argv) > 5 else "complex"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -28,12 +44,12 @@ def main():
     from kge_tpu.train.train import TrainingJob
     from tests.util import create_config, get_dataset_folder
 
-    config = create_config("dataset_test", model="complex")
+    config = create_config("dataset_test", model=model_name)
     config.set("train.type", "negative_sampling")
     config.set("random_seed.default", 41)
     config.set("random_seed.numpy", 41)
     config.set("random_seed.jax", 41)
-    config.set("lookup_embedder.dim", 16)
+    configure_model(config, model_name)
     config.set("train.batch_size", 16)
     config.set("train.max_epochs", 2)
     config.set("valid.every", 2)
@@ -58,6 +74,12 @@ def main():
     assert job.mesh is not None and dict(job.mesh.shape) == {
         "data": 2, "model": 2
     }
+    if model_name == "compgcn":
+        # the edge-partitioned halo path must engage under the hybrid
+        # multi-host mesh, not fall back to GSPMD
+        enc = job.model._encoder
+        assert any(k.startswith("halo_") for k in enc._graph_np), \
+            "multihost mesh GNN did not build halo structures"
     losses = []
     job.post_epoch_hooks.append(
         lambda j: losses.append(float(j.current_trace["epoch"]["avg_loss"]))

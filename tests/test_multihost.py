@@ -31,17 +31,19 @@ def _free_port() -> int:
     return port
 
 
-def _single_process_losses():
+def _single_process_losses(model_name="complex"):
     """Same config as the workers, on a single-process 2x2 mesh."""
     from kge_tpu import Dataset
     from kge_tpu.train.train import TrainingJob
 
-    config = create_config("dataset_test", model="complex")
+    from tests.multihost_worker import configure_model
+
+    config = create_config("dataset_test", model=model_name)
     config.set("train.type", "negative_sampling")
     config.set("random_seed.default", 41)
     config.set("random_seed.numpy", 41)
     config.set("random_seed.jax", 41)
-    config.set("lookup_embedder.dim", 16)
+    configure_model(config, model_name)
     config.set("train.batch_size", 16)
     config.set("train.max_epochs", 2)
     config.set("valid.every", 2)
@@ -116,3 +118,47 @@ def test_two_process_cpu_cluster_matches_single_process(tmp_path):
     assert results[0]["valid_mrr"] is not None
     np.testing.assert_allclose(results[0]["valid_mrr"], single_mrr,
                                rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_gnn_halo_matches_single_process(tmp_path):
+    """CompGCN on the 2-process hybrid mesh: the edge-partitioned halo
+    aggregation (boundary all_to_all inside each process's model axis)
+    must engage under jax.distributed and reproduce the single-process
+    2x2-mesh loss trajectory."""
+    port = _free_port()
+    outdir = str(tmp_path)
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "tests.multihost_worker",
+             str(pid), "2", str(port), outdir, "compgcn"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    results = []
+    for pid in range(2):
+        with open(os.path.join(outdir, f"loss_{pid}.json")) as f:
+            results.append(json.load(f))
+    np.testing.assert_allclose(
+        results[0]["losses"], results[1]["losses"], rtol=0, atol=0
+    )
+    single, _ = _single_process_losses("compgcn")
+    np.testing.assert_allclose(results[0]["losses"], single, rtol=1e-5)
