@@ -143,3 +143,29 @@ def test_recipe_configs_build_jobs():
         dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
         job = TrainingJob.create(config, dataset)
         assert job is not None, path
+
+
+def test_example_configs_build_jobs():
+    """Every examples/toy-*.yaml must load against the bundled toy
+    dataset and construct its job (no training — catches config drift
+    between the examples and the schema)."""
+    import glob
+    import os
+
+    from kge_tpu import Config, Dataset
+    from kge_tpu.train.job import Job
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "examples/toy-*.yaml")))
+    assert len(paths) >= 10
+    for path in paths:
+        config = Config()
+        config.folder = None
+        config.set("console.quiet", True, create=True)
+        config.load(path, create=True)
+        config.set("job.device", "cpu")
+        dataset = Dataset.create(
+            config, os.path.join(repo, "data", "toy"), preload_data=False
+        )
+        job = Job.create(config, dataset)
+        assert job is not None, path
