@@ -291,3 +291,41 @@ def test_sharded_trial_farm_two_hosts_shared_fs(tmp_path):
     # all four trial folders exist (each shard created its own)
     for i in range(4):
         assert os.path.isdir(os.path.join(c0.folder, f"t{i}")), i
+
+
+def test_dump_trace_of_search_folder(tmp_path, capsys):
+    """`kge dump trace <search folder>` falls back to the search
+    aggregation (reference kge/util/dump.py:370-376): per-trial summary
+    entries from the copied-back trial traces appear in one dump."""
+    import argparse
+
+    import yaml as _yaml
+
+    from kge_tpu.utils.dump import dump_trace
+
+    config = _search_config(tmp_path, "manual_search")
+    config.set("manual_search.configurations", [
+        {"folder": "lr01", "train.optimizer.default.args.lr": 0.1},
+        {"folder": "lr05", "train.optimizer.default.args.lr": 0.5},
+    ])
+    job = Job.create(config, _dataset(config))
+    job.run()
+    args = argparse.Namespace(
+        source=config.folder, job_id=None, train=False, valid=False,
+        test=False, search=True, yaml=True, keysfile=None, keys=None,
+        max_epoch=None, example=False, batch=False, checkpoint=False,
+        truncate=False, no_header=False, no_default_keys=False,
+        list_keys=False,
+    )
+    capsys.readouterr()  # drop the search job's own console output
+    dump_trace(args)
+    out = [_yaml.safe_load(ln)
+           for ln in capsys.readouterr().out.strip().splitlines()]
+    # per-trial validation summaries (scope train, folder tagged) and
+    # the search-completed record all land in one dump
+    trial_rows = [e for e in out
+                  if e.get("scope") == "train" and e.get("folder")]
+    assert len(trial_rows) >= 2, "expected per-trial summary entries"
+    folders = {e["folder"] for e in trial_rows}
+    assert {"lr01", "lr05"} <= folders, folders
+    assert any(e.get("job") == "search" for e in out)
