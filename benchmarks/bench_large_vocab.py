@@ -55,5 +55,10 @@ def main(num_entities=500_000, num_relations=500, num_triples=300_000,
 
 
 if __name__ == "__main__":
+    # `python bench_large_vocab.py [auto|on|off] [num_entities]`;
+    # num_entities 1_887_436 gives a 0.9 GiB table — just under the
+    # 1 GiB fused-scatter backend cap (tpu.sparse_scatter_limit_bytes),
+    # the largest single-shard sparse configuration the chip can run
     sparse = sys.argv[1] if len(sys.argv) > 1 else "auto"
-    main(sparse=sparse)
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    main(sparse=sparse, num_entities=n)
