@@ -54,7 +54,21 @@ def _row_blocks(agg_nodes: np.ndarray, nbr_nodes: np.ndarray,
     gathers with NO [E, d] message materialization and a tiny sorted
     second-level segment_sum rows -> nodes — measured 2.5x faster
     fwd+bwd than gather->segment_sum at FB15k-237 scale
-    (benchmarks/micro_aggregate.py)."""
+    (benchmarks/micro_aggregate.py).
+
+    The hot path is the O(E) native counting sort
+    (kge_tpu/native/hostops.cpp row_blocks_*): the numpy argsort +
+    [total, K] fancy-index build below costs minutes at Wikidata edge
+    counts and is paid PER EPOCH under negative_sampling.graph_sampling.
+    numpy remains the fallback and the parity referee
+    (tests/test_rgnn.py::test_row_blocks_native_matches_numpy)."""
+    try:
+        from kge_tpu.native import row_blocks_native
+
+        return row_blocks_native(agg_nodes, nbr_nodes, types, positions,
+                                 num_nodes, K)
+    except Exception:
+        pass  # no toolchain / build failure: numpy fallback below
     order = np.argsort(agg_nodes, kind="stable")
     nodes_s = agg_nodes[order]
     counts = np.bincount(nodes_s, minlength=num_nodes)
@@ -89,19 +103,35 @@ def build_graph_buffers(triples: np.ndarray, num_relations: int,
     """Edge buffers (+ inverse edges with offset relation ids) and, for
     per-relation layers, padded relation buckets for lax.scan."""
     fwd = triples[:, [0, 2]].T.astype(np.int32)
+    n_sort = num_entities if num_entities is not None else (
+        int(fwd.max()) + 1 if fwd.size else 1
+    )
     # Sort each half by its aggregation node (edge_index[0]): the hot
     # segment_sum reductions then run with indices_are_sorted=True, and
     # the scatter-add becomes a sequential-access accumulation instead of
     # a general conflict-handling scatter. Halves sort independently so
     # the in/out slices stay contiguous; edge_orig keeps the
-    # direct/inverse correlation for edge dropout.
-    order_fwd = np.argsort(fwd[0], kind="stable")
-    order_inv = np.argsort(fwd[1], kind="stable")
-    edge_index = np.concatenate(
-        [fwd[:, order_fwd], fwd[::-1][:, order_inv]], axis=1
-    )
+    # direct/inverse correlation for edge dropout. Node-id keys admit an
+    # O(E + N) native counting sort (hostops.cpp); numpy is the fallback.
+    try:
+        from kge_tpu.native import counting_argsort_native
+
+        order_fwd = counting_argsort_native(fwd[0], n_sort)
+        order_inv = counting_argsort_native(fwd[1], n_sort)
+    except Exception:
+        order_fwd = np.argsort(fwd[0], kind="stable")
+        order_inv = np.argsort(fwd[1], kind="stable")
+    # 1-D contiguous gathers: fancy-indexing the [2, E] array along
+    # axis 1 (and its reversed view) costs 10x+ at Wikidata edge counts
+    E1 = fwd.shape[1]
+    edge_index = np.empty((2, 2 * E1), np.int32)
+    edge_index[0, :E1] = fwd[0][order_fwd]
+    edge_index[1, :E1] = fwd[1][order_fwd]
+    edge_index[0, E1:] = fwd[1][order_inv]
+    edge_index[1, E1:] = fwd[0][order_inv]
+    rels = np.ascontiguousarray(triples[:, 1]).astype(np.int32)
     edge_type = np.concatenate(
-        [triples[order_fwd, 1], triples[order_inv, 1] + num_relations]
+        [rels[order_fwd], rels[order_inv] + num_relations]
     ).astype(np.int32)
     graph: Dict[str, np.ndarray] = {
         "edge_index": np.ascontiguousarray(edge_index),
@@ -141,29 +171,39 @@ def build_graph_buffers(triples: np.ndarray, num_relations: int,
             )
         else:
             raise ValueError(f"unknown row-block mode {mode}")
-        rb = _row_blocks(*args, num_nodes=N, K=block_size)
-        for k, v in rb.items():
-            graph[f"rb_{mode}_{k}"] = v
         # TRANSPOSE row blocks (keyed by neighbor): the aggregation's
         # backward pass d_xw[j] = sum over incident (row, k) of
         # g_row * scale becomes the same accumulated-gather pattern as
         # the forward instead of K sequential full-buffer scatters
-        # (layers._rowblock_gather_sum custom_vjp)
-        valid = rb["pos"] >= 0
-        rows_idx = np.broadcast_to(
-            np.arange(rb["node"].shape[0], dtype=np.int64)[:, None],
-            rb["nbr"].shape,
-        )
-        trb = _row_blocks(
-            rb["nbr"][valid].astype(np.int64),
-            rows_idx[valid],
-            np.zeros(int(valid.sum()), dtype=np.int32),
-            rb["pos"][valid].astype(np.int64),
-            num_nodes=N, K=block_size,
-        )
-        graph[f"rb_{mode}_trow"] = trb["nbr"]
-        graph[f"rb_{mode}_tpos"] = trb["pos"]
-        graph[f"rb_{mode}_tnode"] = trb["node"]
+        # (layers._rowblock_gather_sum custom_vjp). The native path
+        # builds forward + transpose in one O(E) pass; numpy fallback
+        # boolean-indexes the forward blocks.
+        try:
+            from kge_tpu.native import row_blocks_with_transpose_native
+
+            rb, trow, tpos, tnode = row_blocks_with_transpose_native(
+                *args, num_nodes=N, K=block_size
+            )
+        except Exception:
+            rb = _row_blocks(*args, num_nodes=N, K=block_size)
+            valid = rb["pos"] >= 0
+            rows_idx = np.broadcast_to(
+                np.arange(rb["node"].shape[0], dtype=np.int64)[:, None],
+                rb["nbr"].shape,
+            )
+            trb = _row_blocks(
+                rb["nbr"][valid].astype(np.int64),
+                rows_idx[valid],
+                np.zeros(int(valid.sum()), dtype=np.int32),
+                rb["pos"][valid].astype(np.int64),
+                num_nodes=N, K=block_size,
+            )
+            trow, tpos, tnode = trb["nbr"], trb["pos"], trb["node"]
+        for k, v in rb.items():
+            graph[f"rb_{mode}_{k}"] = v
+        graph[f"rb_{mode}_trow"] = trow
+        graph[f"rb_{mode}_tpos"] = tpos
+        graph[f"rb_{mode}_tnode"] = tnode
     if per_relation:
         rels, counts = np.unique(edge_type, return_counts=True)
         # chunk each relation's edges to a fixed width: skewed relation

@@ -71,6 +71,26 @@ def _lib():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_long,
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.row_blocks_total.restype = ctypes.c_long
+        lib.row_blocks_total.argtypes = [
+            i32p, ctypes.c_long, ctypes.c_long, ctypes.c_long, i64p,
+        ]
+        lib.row_blocks_fill.restype = ctypes.c_long
+        lib.row_blocks_fill.argtypes = [
+            i32p, i32p, i32p, i64p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, i64p, i32p, i32p, i32p, i32p, ctypes.c_long,
+        ]
+        lib.counting_argsort.restype = ctypes.c_long
+        lib.counting_argsort.argtypes = [
+            i32p, ctypes.c_long, ctypes.c_long, i64p,
+        ]
+        lib.row_blocks_transpose_fill.restype = ctypes.c_long
+        lib.row_blocks_transpose_fill.argtypes = [
+            i32p, i32p, i64p, i64p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, i64p, i64p, i32p, i32p, i32p, ctypes.c_long,
+        ]
         _LIB = lib
         return lib
 
@@ -92,3 +112,125 @@ def load_triples_native(path: str) -> np.ndarray:
             f"native triple parse failed (rc={n}) for {path}"
         )
     return np.ascontiguousarray(out[:n])
+
+
+def row_blocks_native(agg_nodes: np.ndarray, nbr_nodes: np.ndarray,
+                      types: np.ndarray, positions: np.ndarray,
+                      num_nodes: int, K: int) -> dict:
+    """Padded-CSR row blocks via the O(E) C++ counting sort — same
+    output contract as encoder._row_blocks' numpy path (bitwise; the
+    stability contract matches argsort(kind="stable"))."""
+    lib = _lib()
+    E = int(agg_nodes.shape[0])
+    agg = np.ascontiguousarray(agg_nodes, dtype=np.int32)
+    nbr = np.ascontiguousarray(nbr_nodes, dtype=np.int32)
+    typ = np.ascontiguousarray(types, dtype=np.int32)
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    counts = np.empty(max(num_nodes, 1), dtype=np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    total = lib.row_blocks_total(
+        agg.ctypes.data_as(i32p), E, num_nodes, K,
+        counts.ctypes.data_as(i64p),
+    )
+    if total < 0:
+        raise RuntimeError(f"row_blocks_total failed (rc={total})")
+    nbr_out = np.empty((total, K), dtype=np.int32)
+    typ_out = np.empty((total, K), dtype=np.int32)
+    pos_out = np.empty((total, K), dtype=np.int32)
+    node_out = np.empty(total, dtype=np.int32)
+    rc = lib.row_blocks_fill(
+        agg.ctypes.data_as(i32p), nbr.ctypes.data_as(i32p),
+        typ.ctypes.data_as(i32p), pos.ctypes.data_as(i64p),
+        E, num_nodes, K, counts.ctypes.data_as(i64p),
+        nbr_out.ctypes.data_as(i32p), typ_out.ctypes.data_as(i32p),
+        pos_out.ctypes.data_as(i32p), node_out.ctypes.data_as(i32p),
+        total,
+    )
+    if rc != 0:
+        raise RuntimeError(f"row_blocks_fill failed (rc={rc})")
+    return {"nbr": nbr_out, "type": typ_out, "pos": pos_out,
+            "node": node_out}
+
+
+def counting_argsort_native(keys: np.ndarray, num_buckets: int
+                            ) -> np.ndarray:
+    """Stable argsort of int keys in [0, num_buckets) — O(E + N), the
+    numpy argsort(kind="stable") equivalent for node-id keys."""
+    lib = _lib()
+    k = np.ascontiguousarray(keys, dtype=np.int32)
+    order = np.empty(k.shape[0], dtype=np.int64)
+    rc = lib.counting_argsort(
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        k.shape[0], num_buckets,
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"counting_argsort failed (rc={rc})")
+    return order
+
+
+def row_blocks_with_transpose_native(
+        agg_nodes: np.ndarray, nbr_nodes: np.ndarray, types: np.ndarray,
+        positions: np.ndarray, num_nodes: int, K: int):
+    """Forward AND transpose padded-CSR row blocks in one native pass —
+    the transpose (neighbor -> forward-row incidence, used by the
+    symmetric backward) never materializes the numpy boolean masks.
+    Returns (fwd_dict, trow, tpos, tnode)."""
+    lib = _lib()
+    E = int(agg_nodes.shape[0])
+    agg = np.ascontiguousarray(agg_nodes, dtype=np.int32)
+    nbr = np.ascontiguousarray(nbr_nodes, dtype=np.int32)
+    typ = np.ascontiguousarray(types, dtype=np.int32)
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    counts_f = np.empty(max(num_nodes, 1), dtype=np.int64)
+    counts_t = np.empty(max(num_nodes, 1), dtype=np.int64)
+    total_f = lib.row_blocks_total(
+        agg.ctypes.data_as(i32p), E, num_nodes, K,
+        counts_f.ctypes.data_as(i64p),
+    )
+    total_t = lib.row_blocks_total(
+        nbr.ctypes.data_as(i32p), E, num_nodes, K,
+        counts_t.ctypes.data_as(i64p),
+    )
+    if total_f < 0 or total_t < 0:
+        raise RuntimeError("row_blocks_total failed")
+    nbr_out = np.empty((total_f, K), dtype=np.int32)
+    typ_out = np.empty((total_f, K), dtype=np.int32)
+    pos_out = np.empty((total_f, K), dtype=np.int32)
+    node_out = np.empty(total_f, dtype=np.int32)
+    rc = lib.row_blocks_fill(
+        agg.ctypes.data_as(i32p), nbr.ctypes.data_as(i32p),
+        typ.ctypes.data_as(i32p), pos.ctypes.data_as(i64p),
+        E, num_nodes, K, counts_f.ctypes.data_as(i64p),
+        nbr_out.ctypes.data_as(i32p), typ_out.ctypes.data_as(i32p),
+        pos_out.ctypes.data_as(i32p), node_out.ctypes.data_as(i32p),
+        total_f,
+    )
+    if rc != 0:
+        raise RuntimeError(f"row_blocks_fill failed (rc={rc})")
+    order = np.empty(E, dtype=np.int64)
+    rc = lib.counting_argsort(
+        agg.ctypes.data_as(i32p), E, num_nodes,
+        order.ctypes.data_as(i64p),
+    )
+    if rc != 0:
+        raise RuntimeError(f"counting_argsort failed (rc={rc})")
+    trow = np.empty((total_t, K), dtype=np.int32)
+    tpos = np.empty((total_t, K), dtype=np.int32)
+    tnode = np.empty(total_t, dtype=np.int32)
+    rc = lib.row_blocks_transpose_fill(
+        agg.ctypes.data_as(i32p), nbr.ctypes.data_as(i32p),
+        pos.ctypes.data_as(i64p), order.ctypes.data_as(i64p),
+        E, num_nodes, K, counts_f.ctypes.data_as(i64p),
+        counts_t.ctypes.data_as(i64p),
+        trow.ctypes.data_as(i32p), tpos.ctypes.data_as(i32p),
+        tnode.ctypes.data_as(i32p), total_t,
+    )
+    if rc != 0:
+        raise RuntimeError(f"row_blocks_transpose_fill failed (rc={rc})")
+    fwd = {"nbr": nbr_out, "type": typ_out, "pos": pos_out,
+           "node": node_out}
+    return fwd, trow, tpos, tnode

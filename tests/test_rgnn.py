@@ -338,3 +338,52 @@ def test_wgcn_alpha_padding_row_zero_and_frozen():
     g0 = np.asarray(g["encoder"]["layers"][0]["alpha"])
     assert np.allclose(g0[0], 0.0), "padding row received gradient"
     assert np.abs(g0[1:]).sum() > 0, "non-padding alpha rows have no grad"
+
+
+def test_row_blocks_native_matches_numpy():
+    """The native O(E) counting-sort graph-buffer builder must be
+    BITWISE identical to the numpy argsort path (stability contract
+    included) across modes, skew, and edge cases."""
+    import unittest.mock as mock
+
+    import kge_tpu.native as native
+    from kge_tpu.models.rgnn import encoder as enc_mod
+
+    try:
+        native._lib()
+    except RuntimeError:
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(13)
+    cases = [
+        (0, 5, 3),       # empty graph
+        (1, 1, 1),       # single node self-ish edge
+        (2000, 11, 4),   # heavy hubs (few nodes)
+        (5000, 700, 9),  # sparse
+    ]
+    for E, V, R in cases:
+        triples = np.stack([
+            rng.integers(0, V, E), rng.integers(0, R, E),
+            rng.integers(0, V, E),
+        ], axis=1).astype(np.int64)
+        for modes in [("in", "out"), ("single",), ("single_with_loops",)]:
+            a = enc_mod.build_graph_buffers(
+                triples, R, per_relation=True, row_block_modes=modes,
+                block_size=8, num_entities=V,
+            )
+            with mock.patch.object(native, "counting_argsort_native",
+                                   side_effect=RuntimeError), \
+                 mock.patch.object(native, "row_blocks_with_transpose_native",
+                                   side_effect=RuntimeError), \
+                 mock.patch.object(native, "row_blocks_native",
+                                   side_effect=RuntimeError):
+                b = enc_mod.build_graph_buffers(
+                    triples, R, per_relation=True, row_block_modes=modes,
+                    block_size=8, num_entities=V,
+                )
+            assert set(a) == set(b)
+            for k in a:
+                if isinstance(a[k], int):
+                    assert a[k] == b[k], (E, modes, k)
+                else:
+                    assert np.array_equal(a[k], b[k]), (E, modes, k)
