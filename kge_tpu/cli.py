@@ -92,6 +92,18 @@ def create_parser(config: Config) -> argparse.ArgumentParser:
         "package", help="Strip a checkpoint into a distributable model file")
     parser_package.add_argument("checkpoint", type=str)
     parser_package.add_argument("--file", type=str, default=None)
+
+    parser_import = subparsers.add_parser(
+        "import-libkge",
+        help="Convert a trained LibKGE (PyTorch) checkpoint into this "
+             "framework's format")
+    parser_import.add_argument("checkpoint", type=str)
+    parser_import.add_argument("--file", type=str, required=True,
+                               help="output checkpoint path")
+    parser_import.add_argument("--dataset-folder", type=str, default=None,
+                               help="dataset folder (required for R-GNN "
+                                    "models; otherwise entity/relation "
+                                    "counts are inferred from the tables)")
     return parser
 
 
@@ -158,6 +170,22 @@ def main():
             import sys
 
             sys.stderr.close()
+        return
+    if args.command == "import-libkge":
+        # conversion is pure host work; never touch (or block on) an
+        # accelerator backend
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+        from kge_tpu.utils.import_libkge import import_reference_checkpoint
+        from kge_tpu.utils.io import save_checkpoint
+
+        checkpoint = import_reference_checkpoint(
+            args.checkpoint, dataset_folder=args.dataset_folder
+        )
+        save_checkpoint(args.file, checkpoint)
+        print(f"imported {args.checkpoint} -> {args.file}")
         return
     if args.command == "package":
         from kge_tpu.utils.package import package_model

@@ -85,10 +85,16 @@ class Dataset(Configurable):
                 default_folder = os.path.join(
                     kge_base_dir(), "data", config.get("dataset.name")
                 )
+                ck_ds = checkpoint.get("dataset", {})
                 if os.path.isdir(default_folder):
                     dataset = Dataset.create(config, preload_data=preload_data)
-                elif checkpoint.get("dataset", {}).get("meta"):
-                    # packaged checkpoint: id maps embedded, no files needed
+                elif ck_ds.get("meta") or (
+                    folder is None
+                    and ck_ds.get("num_entities") is not None
+                ):
+                    # packaged checkpoint (id maps embedded) or an
+                    # imported/ids-only one (explicit counts, no folder
+                    # recorded): usable without dataset files
                     dataset = Dataset(config, folder=None)
                 else:
                     # e.g. a typo'd dataset folder on resume: fail here

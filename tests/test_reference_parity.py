@@ -46,6 +46,7 @@ pytestmark = [
 ]
 
 REFSHIM = os.path.join(os.path.dirname(__file__), "refshim")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DIM = 32
 N_ENT, N_REL = 40, 7
@@ -266,164 +267,16 @@ def make_our_model(dataset_folder, model_name, overrides, extra_config=()):
     return cfg, ds, model, params
 
 
-def _set_leaf(tree, key, value):
-    """Replace a leaf, asserting the reference tensor has the same shape."""
-    import jax.numpy as jnp
+def inject_ref_weights(model, params, state, ref_model):
+    """Copy the reference state_dict into our params pytree (and BN
+    state) via the LIBRARY import mapping — the parity matrix thereby
+    doubles as the numerical proof of the LibKGE checkpoint importer
+    (kge_tpu/utils/import_libkge.py)."""
+    from kge_tpu.utils.import_libkge import apply_reference_state_dict
 
-    old = tree[key]
-    assert tuple(old.shape) == tuple(value.shape), (
-        f"shape mismatch injecting {key}: ours {old.shape} vs ref {value.shape}"
-    )
-    tree[key] = jnp.asarray(value)
-
-
-def inject_ref_weights(model_name, params, state, ref_model):
-    """Copy the reference state_dict into our params pytree (and BN state)."""
-    sd = {k: v.detach().cpu().numpy() for k, v in ref_model.state_dict().items()}
-
-    def conve_scorer(dst, pre):
-        _set_leaf(dst, "conv_w", sd[pre + "convolution.weight"])
-        _set_leaf(dst, "conv_b", sd[pre + "convolution.bias"])
-        _set_leaf(dst, "proj_w", sd[pre + "projection.weight"])
-        _set_leaf(dst, "proj_b", sd[pre + "projection.bias"])
-
-    if model_name == "compgcn":
-        _set_leaf(
-            params["entity_embedder"], "weights",
-            sd["_encoder.entity_embedder._embeddings.weight"],
-        )
-        _set_leaf(
-            params["relation_embedder"], "weights",
-            sd["_encoder.relation_embedder._embeddings.weight"],
-        )
-        conve_scorer(params["scorer"], "_scorer.")
-        for i, layer in enumerate(params["encoder"]["layers"]):
-            pre = f"_encoder.rgnn.gnn_layers.{i}."
-            _set_leaf(layer, "w_rel", sd[pre + "w_rel"])
-            _set_leaf(layer, "loop_rel", sd[pre + "loop_rel"])
-            _set_leaf(layer, "bn_scale", sd[pre + "bn.weight"])
-            _set_leaf(layer, "bn_bias", sd[pre + "bn.bias"])
-            _set_leaf(layer, "w_in_h0", sd[pre + "weights.w_in_head_1"])
-            _set_leaf(layer, "w_out_h0", sd[pre + "weights.w_out_head_1"])
-            _set_leaf(layer, "w_loop_h0", sd[pre + "weights.w_loop_head_1"])
-    elif model_name == "wgcn":
-        _set_leaf(
-            params["entity_embedder"], "weights",
-            sd["_encoder.entity_embedder._embeddings.weight"],
-        )
-        _set_leaf(
-            params["relation_embedder"], "weights",
-            sd["_encoder.relation_embedder._embeddings.weight"],
-        )
-        conve_scorer(params["scorer"], "_scorer.")
-        for i, layer in enumerate(params["encoder"]["layers"]):
-            pre = f"_encoder.rgnn.gnn_layers.{i}."
-            _set_leaf(layer, "weight", sd[pre + "weight"])
-            _set_leaf(layer, "bias", sd[pre + "bias"])
-            _set_leaf(layer, "alpha", sd[pre + "alpha.weight"])
-            _set_leaf(layer, "bn_scale", sd[pre + "bn.weight"])
-            _set_leaf(layer, "bn_bias", sd[pre + "bn.bias"])
-    elif model_name == "relational_tucker3":
-        _set_leaf(
-            params["entity_embedder"], "weights",
-            sd["_entity_embedder._embeddings.weight"],
-        )
-        _set_leaf(
-            params["relation_embedder"]["base"], "weights",
-            sd["_relation_embedder.base_embedder._embeddings.weight"],
-        )
-        _set_leaf(
-            params["relation_embedder"], "projection",
-            sd["_relation_embedder.projection.weight"],
-        )
-    elif model_name == "ragat":
-        _set_leaf(
-            params["entity_embedder"], "weights",
-            sd["_encoder.entity_embedder._embeddings.weight"],
-        )
-        _set_leaf(
-            params["relation_embedder"], "weights",
-            sd["_encoder.relation_embedder._embeddings.weight"],
-        )
-        conve_scorer(params["scorer"], "_scorer.")
-        for i, layer in enumerate(params["encoder"]["layers"]):
-            pre = f"_encoder.rgnn.gnn_layers.{i}."
-            _set_leaf(layer, "w_rel", sd[pre + "w_rel"])
-            _set_leaf(layer, "loop_rel", sd[pre + "loop_rel"])
-            _set_leaf(layer, "bn_scale", sd[pre + "bn.weight"])
-            _set_leaf(layer, "bn_bias", sd[pre + "bn.bias"])
-            h = 0
-            while f"w_in_h{h}" in layer:
-                hp = f"{pre}weights."
-                _set_leaf(layer, f"w_in_h{h}", sd[hp + f"w_in_head_{h+1}"])
-                _set_leaf(layer, f"w_out_h{h}",
-                          sd[hp + f"w_out_head_{h+1}"])
-                _set_leaf(layer, f"w_loop_h{h}",
-                          sd[hp + f"w_loop_head_{h+1}"])
-                _set_leaf(layer, f"w_msgweight_h{h}",
-                          sd[hp + f"w_message_weight_head_{h+1}"])
-                _set_leaf(layer, f"w_att_h{h}", sd[hp + f"w_att_{h+1}"])
-                h += 1
-    elif model_name == "rgcn":
-        _set_leaf(
-            params["entity_embedder"], "weights",
-            sd["_encoder.entity_embedder._embeddings.weight"],
-        )
-        _set_leaf(
-            params["relation_embedder"], "weights",
-            sd["_encoder.relation_embedder._embeddings.weight"],
-        )
-        for i, layer in enumerate(params["encoder"]["layers"]):
-            pre = f"_encoder.rgnn.gnn_layers.{i}."
-            _set_leaf(layer, "bias", sd[pre + "bias"])
-            _set_leaf(layer, "blocks", sd[pre + "blocks"])
-            _set_leaf(layer, "block_self", sd[pre + "block_self"])
-    elif "_scorer.cls_emb" in sd:  # reciprocal-wrapped Transformer
-        _set_leaf(
-            params["entity_embedder"], "weights",
-            sd["_entity_embedder._embeddings.weight"],
-        )
-        _set_leaf(
-            params["relation_embedder"], "weights",
-            sd["_relation_embedder._embeddings.weight"],
-        )
-        dst = params["scorer"]
-        _set_leaf(dst, "cls", sd["_scorer.cls_emb"])
-        _set_leaf(dst, "sub_type", sd["_scorer.sub_type_emb"])
-        _set_leaf(dst, "rel_type", sd["_scorer.rel_type_emb"])
-        for i, layer in enumerate(dst["layers"]):
-            lp = f"_scorer.encoder.layers.{i}."
-            _set_leaf(layer, "qkv_w", sd[lp + "self_attn.in_proj_weight"])
-            _set_leaf(layer, "qkv_b", sd[lp + "self_attn.in_proj_bias"])
-            _set_leaf(layer, "out_w", sd[lp + "self_attn.out_proj.weight"])
-            _set_leaf(layer, "out_b", sd[lp + "self_attn.out_proj.bias"])
-            _set_leaf(layer, "lin1_w", sd[lp + "linear1.weight"])
-            _set_leaf(layer, "lin1_b", sd[lp + "linear1.bias"])
-            _set_leaf(layer, "lin2_w", sd[lp + "linear2.weight"])
-            _set_leaf(layer, "lin2_b", sd[lp + "linear2.bias"])
-            _set_leaf(layer, "ln1_scale", sd[lp + "norm1.weight"])
-            _set_leaf(layer, "ln1_bias", sd[lp + "norm1.bias"])
-            _set_leaf(layer, "ln2_scale", sd[lp + "norm2.weight"])
-            _set_leaf(layer, "ln2_bias", sd[lp + "norm2.bias"])
-    elif "_scorer.convolution.weight" in sd:  # reciprocal-wrapped ConvE
-        _set_leaf(
-            params["entity_embedder"], "weights",
-            sd["_entity_embedder._embeddings.weight"],
-        )
-        _set_leaf(
-            params["relation_embedder"], "weights",
-            sd["_relation_embedder._embeddings.weight"],
-        )
-        conve_scorer(params["scorer"], "_scorer.")
-    else:
-        _set_leaf(
-            params["entity_embedder"], "weights",
-            sd["_entity_embedder._embeddings.weight"],
-        )
-        _set_leaf(
-            params["relation_embedder"], "weights",
-            sd["_relation_embedder._embeddings.weight"],
-        )
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in ref_model.state_dict().items()}
+    apply_reference_state_dict(model, params, state, sd)
     # Fresh-init batch-norm running stats (mean 0 / var 1) are identical on
     # both sides by construction; assert rather than assume.
     for k, v in sd.items():
@@ -461,7 +314,7 @@ def test_score_and_eval_parity(ref, dataset_folder, tmp_path, model_name,
     cfg, ds, model, params = make_our_model(dataset_folder, model_name,
                                             overrides)
     state = model.init_state()
-    params = inject_ref_weights(model_name, params, state, ref_model)
+    params = inject_ref_weights(model, params, state, ref_model)
 
     # (a) scores on a dense (s, p) cross product with wrapped objects
     s = torch.arange(0, N_ENT).repeat_interleave(N_REL)
@@ -543,7 +396,7 @@ def test_training_loss_parity(ref, dataset_folder, tmp_path, train_type,
         extra_config=extra + [("eval.split", "train")],
     )
     state = model.init_state()
-    params = inject_ref_weights("complex", params, state, ref_model)
+    params = inject_ref_weights(model, params, state, ref_model)
 
     if train_type == "negative_sampling":
         def ref_fake_sample(self, positive_triples, slot, num_samples):
@@ -603,7 +456,7 @@ def test_gradient_parity(ref, dataset_folder, tmp_path, model_name,
     cfg, ds, model, params = make_our_model(dataset_folder, model_name,
                                             overrides)
     state = model.init_state()
-    params = inject_ref_weights(model_name, params, state, ref_model)
+    params = inject_ref_weights(model, params, state, ref_model)
 
     s = torch.arange(0, N_ENT, 2)
     p = torch.arange(0, len(s)) % N_REL
@@ -651,3 +504,112 @@ def test_gradient_parity(ref, dataset_folder, tmp_path, model_name,
         gr_ref, gr_our, rtol=1e-3, atol=1e-4,
         err_msg=f"{model_name} relation-table gradient diverges",
     )
+
+
+def test_import_libkge_checkpoint_roundtrip(ref, dataset_folder, tmp_path):
+    """A reference-format torch checkpoint — including NON-fresh BN
+    running statistics, which the weight-injection parity tests never
+    exercise — imports into a kge_tpu checkpoint whose model reproduces
+    the reference's eval-mode scores through the standard application
+    API (KgeModel.create_from)."""
+    import jax.numpy as jnp
+
+    from kge_tpu.models import Ctx, KgeModel
+    from kge_tpu.utils.import_libkge import import_reference_checkpoint
+    from kge_tpu.utils.io import load_checkpoint, save_checkpoint
+
+    torch = ref.torch
+    overrides = {"reciprocal_relations_model.base_model.type": "conve"}
+    ref_cfg, ref_ds, ref_model = make_ref_model(
+        ref, dataset_folder, tmp_path, "reciprocal_relations_model",
+        overrides,
+    )
+    s = torch.arange(0, N_ENT)
+    p = torch.arange(0, N_ENT) % N_REL
+    # drive the BN running stats away from fresh init, as training would
+    ref_model.train()
+    with torch.no_grad():
+        ref_model.score_sp(s, p)
+    ref_model.eval()
+    bn_mean = ref_model.state_dict()["_scorer.bn1.running_mean"]
+    assert float(bn_mean.abs().sum()) > 0, "BN stats unexpectedly fresh"
+
+    ckpt_path = str(tmp_path / "ref_checkpoint.pt")
+    torch.save(
+        {
+            "type": "train", "epoch": 7, "job_id": "refjob",
+            "valid_trace": [], "model": ref_model.save(),
+            "config": ref_cfg,
+        },
+        ckpt_path,
+    )
+    converted = import_reference_checkpoint(
+        ckpt_path, dataset_folder=dataset_folder
+    )
+    assert converted["epoch"] == 7
+    out_path = str(tmp_path / "imported.pt")
+    save_checkpoint(out_path, converted)
+    model, params, state = KgeModel.create_from(load_checkpoint(out_path))
+    with torch.no_grad():
+        ref_sp = ref_model.score_sp(s, p).numpy()
+    ours = np.asarray(model.score_sp(
+        params, jnp.asarray(s.numpy()), jnp.asarray(p.numpy()),
+        ctx=Ctx(state=state),
+    ))
+    np.testing.assert_allclose(
+        ref_sp.reshape(-1), ours.reshape(-1), rtol=1e-4, atol=1e-4,
+        err_msg="imported ConvE checkpoint diverges (BN stats?)",
+    )
+
+
+def test_import_libkge_without_reference_installed(ref, dataset_folder,
+                                                   tmp_path):
+    """The importer must work in an environment WITHOUT the reference
+    package: the pickled kge.Config unpickles against the stub class,
+    and entity/relation counts come from the table shapes when no
+    dataset folder is given. Runs in a clean subprocess."""
+    import subprocess
+
+    torch = ref.torch
+    ref_cfg, ref_ds, ref_model = make_ref_model(
+        ref, dataset_folder, tmp_path, "complex", {}
+    )
+    ckpt_path = str(tmp_path / "ref_complex.pt")
+    torch.save(
+        {"type": "train", "epoch": 3, "valid_trace": [],
+         "model": ref_model.save(), "config": ref_cfg},
+        ckpt_path,
+    )
+    with torch.no_grad():
+        s = torch.arange(0, 5)
+        p = torch.arange(0, 5) % N_REL
+        o = torch.arange(1, 6) % N_ENT
+        expected = ref_model.score_spo(s, p, o, direction="o").numpy()
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from kge_tpu.models import Ctx, KgeModel
+from kge_tpu.utils.import_libkge import import_reference_checkpoint
+ckpt = import_reference_checkpoint({ckpt_path!r})
+assert ckpt["config"].get("dataset.num_entities") == {N_ENT}
+assert ckpt["config"].get("dataset.num_relations") == {N_REL}
+model, params, state = KgeModel.create_from(ckpt)
+got = np.asarray(model.score_spo(
+    params, jnp.asarray([0, 1, 2, 3, 4]),
+    jnp.asarray([0, 1, 2, 3, 4]) % {N_REL},
+    jnp.asarray([1, 2, 3, 4, 5]) % {N_ENT},
+    direction="o", ctx=Ctx(state=state)))
+np.testing.assert_allclose(got, np.asarray({list(map(float, expected))!r}),
+                           rtol=1e-4, atol=1e-4)
+print("IMPORT-OK")
+"""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = REPO_ROOT
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        env=env, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "IMPORT-OK" in r.stdout
