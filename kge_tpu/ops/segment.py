@@ -48,11 +48,23 @@ def degree_norm(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
 
 def ccorr(h_j: jnp.ndarray, h_r: jnp.ndarray) -> jnp.ndarray:
     """Circular correlation conj(F(h_j)) * F(h_r) -> iF (reference:
-    rgnn_utils.py ccorr)."""
+    rgnn_utils.py ccorr).
+
+    QUIRK REPLICATED: the reference's torch-2.x port of the deprecated
+    torch.irfft slices the rfft spectrum to ``len // 2 + 1`` bins AGAIN
+    before inverting (rgnn_utils.py:219-221), silently zeroing the
+    upper half of the frequency spectrum — so its "ccorr" is not true
+    circular correlation. Trained reference models embed this behavior,
+    and tests/test_reference_parity.py (compgcn-ccorr) pins it, so we
+    reproduce the truncation exactly."""
     n = h_j.shape[-1]
     fj = jnp.fft.rfft(h_j, axis=-1)
     fr = jnp.fft.rfft(h_r, axis=-1)
-    return jnp.fft.irfft(jnp.conj(fj) * fr, n=n, axis=-1)
+    spec = jnp.conj(fj) * fr
+    keep = spec.shape[-1] // 2 + 1
+    pad = spec.shape[-1] - keep
+    spec = jnp.pad(spec[..., :keep], [(0, 0)] * (spec.ndim - 1) + [(0, pad)])
+    return jnp.fft.irfft(spec, n=n, axis=-1)
 
 
 # ---- compositions (reference: rgnn_utils.py:168-224) --------------------

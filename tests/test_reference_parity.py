@@ -77,6 +77,22 @@ MODELS = [
     # crashes if direction="o" is scored before any "s" call primes the
     # cache, so pin it off for apples-to-apples scoring
     ("compgcn", {"compgcn.encoder.use_stale_embeddings": False}),
+    # non-default message compositions: circular correlation (ours runs
+    # via jnp.fft against the reference's torch implementation) and mult
+    (
+        "compgcn",
+        {
+            "compgcn.encoder.use_stale_embeddings": False,
+            "compgcn.encoder.message_passing_args.composition": "ccorr",
+        },
+    ),
+    (
+        "compgcn",
+        {
+            "compgcn.encoder.use_stale_embeddings": False,
+            "compgcn.encoder.message_passing_args.composition": "mult",
+        },
+    ),
     # edge/self-edge dropout pinned to 0: the reference TorchRgcnLayer
     # applies them UNCONDITIONALLY (rgnn_encoder.py:672-685 has no
     # self.training guard — torch.rand fires at eval too), so its eval
@@ -88,6 +104,19 @@ MODELS = [
             "rgcn.relation_embedder.dim": DIM,
             "rgcn.encoder.use_stale_embeddings": False,
             "rgcn.encoder.num_blocks_or_bases": 4,
+            "rgcn.encoder.edge_dropout": 0.0,
+            "rgcn.encoder.self_edge_dropout": 0.0,
+        },
+    ),
+    # basis decomposition (block is the preset default)
+    (
+        "rgcn",
+        {
+            "rgcn.entity_embedder.dim": DIM,
+            "rgcn.relation_embedder.dim": DIM,
+            "rgcn.encoder.use_stale_embeddings": False,
+            "rgcn.encoder.weight_decomposition": "basis",
+            "rgcn.encoder.num_blocks_or_bases": 5,
             "rgcn.encoder.edge_dropout": 0.0,
             "rgcn.encoder.self_edge_dropout": 0.0,
         },
@@ -140,6 +169,11 @@ def _model_id(m, o):
         return o[f"{m}.base_model.type"] + "-reciprocal"
     if o.get("rgcn.encoder.torch_rgcn_args.vertical_stacking"):
         return "rgcn-vertical"
+    if o.get("rgcn.encoder.weight_decomposition") == "basis":
+        return "rgcn-basis"
+    comp = o.get("compgcn.encoder.message_passing_args.composition")
+    if comp:
+        return f"compgcn-{comp}"
     return m
 
 
