@@ -178,6 +178,17 @@ def apply_reference_state_dict(model, params: Dict[str, Any],
                     _set(lp, "bias", sd[pre + "bias"])
                 if "alpha" in lp:
                     _set(lp, "alpha", sd[pre + "alpha"])
+                if "bases" in lp:  # per_relation_basis propagation
+                    _set(lp, "bases", sd[pre + "bases"])
+                    _set(lp, "comps", sd[pre + "comps"])
+                    _set(lp, "w_loop", sd[pre + "loop_weight"])
+                if "w_blocks" in lp:  # per_relation_block propagation
+                    _set(lp, "w_blocks", sd[pre + "weights.w_blocks"])
+                    _set(lp, "w_loop", sd[pre + "weights.w_loop"])
+                if "basis_vectors" in lp:  # relation_basis decomposition
+                    _set(lp, "basis_vectors", sd[pre + "basis_vectors"])
+                    _set(lp, "relation_basis_weights",
+                         sd[pre + "relation_basis_weights"])
                 h = 0
                 while f"w_in_h{h}" in lp or f"w_single_h{h}" in lp:
                     hp = f"{pre}weights."

@@ -93,6 +93,37 @@ MODELS = [
             "compgcn.encoder.message_passing_args.composition": "mult",
         },
     ),
+    # per-relation propagation with block/basis weight decomposition:
+    # our lax.scan over padded relation buckets vs the reference's
+    # per-relation message passing
+    # DistMult decoder: ConvE's round_dim makes the layer out_dim 33,
+    # which the block decomposition's divisibility check (both sides)
+    # rejects
+    (
+        "compgcn",
+        {
+            "compgcn.encoder.use_stale_embeddings": False,
+            "compgcn.encoder.message_passing_args.propagation":
+                "per_relation",
+            "compgcn.encoder.weight_decomposition": "block",
+            "compgcn.encoder.num_blocks_or_bases": 4,
+            "compgcn.decoder.model": "distmult",
+            "compgcn.decoder.type": "distmult",
+            "compgcn.decoder.scorer": "DistMultScorer",
+            "compgcn.decoder.base_model.entity_embedder.dim": DIM,
+            "compgcn.decoder.base_model.relation_embedder.dim": DIM,
+        },
+    ),
+    (
+        "compgcn",
+        {
+            "compgcn.encoder.use_stale_embeddings": False,
+            "compgcn.encoder.message_passing_args.propagation":
+                "per_relation",
+            "compgcn.encoder.weight_decomposition": "basis",
+            "compgcn.encoder.num_blocks_or_bases": 5,
+        },
+    ),
     # edge/self-edge dropout pinned to 0: the reference TorchRgcnLayer
     # applies them UNCONDITIONALLY (rgnn_encoder.py:672-685 has no
     # self.training guard — torch.rand fires at eval too), so its eval
@@ -174,6 +205,9 @@ def _model_id(m, o):
     comp = o.get("compgcn.encoder.message_passing_args.composition")
     if comp:
         return f"compgcn-{comp}"
+    dec = o.get("compgcn.encoder.weight_decomposition")
+    if dec:
+        return f"compgcn-{dec}"
     return m
 
 
