@@ -189,20 +189,26 @@ def apply_reference_state_dict(model, params: Dict[str, Any],
                     _set(lp, "basis_vectors", sd[pre + "basis_vectors"])
                     _set(lp, "relation_basis_weights",
                          sd[pre + "relation_basis_weights"])
-                h = 0
-                while f"w_in_h{h}" in lp or f"w_single_h{h}" in lp:
-                    hp = f"{pre}weights."
-                    for mode in ("in", "out", "loop", "single"):
-                        ours = f"w_{mode}_h{h}"
-                        theirs = hp + f"w_{mode}_head_{h + 1}"
-                        if ours in lp and theirs in sd:
-                            _set(lp, ours, sd[theirs])
-                    if f"w_msgweight_h{h}" in lp:
-                        _set(lp, f"w_msgweight_h{h}",
+                # per-mode head weights: our names are w_{mode}_h{h}
+                # (mode may be EMPTY for the single propagations,
+                # mirroring the reference's modes=[""]); reference names
+                # are weights.w_{mode}_head_{h+1}. Strict: a missing
+                # reference key raises instead of silently skipping.
+                import re as _re
+
+                hp = f"{pre}weights."
+                for ours in sorted(lp):
+                    m = _re.fullmatch(r"w_(.*)_h(\d+)", ours)
+                    if not m:
+                        continue
+                    mode, h = m.group(1), int(m.group(2))
+                    if mode == "att":
+                        _set(lp, ours, sd[hp + f"w_att_{h + 1}"])
+                    elif mode == "msgweight":
+                        _set(lp, ours,
                              sd[hp + f"w_message_weight_head_{h + 1}"])
-                    if f"w_att_h{h}" in lp:
-                        _set(lp, f"w_att_h{h}", sd[hp + f"w_att_{h + 1}"])
-                    h += 1
+                    else:
+                        _set(lp, ours, sd[hp + f"w_{mode}_head_{h + 1}"])
         return
 
     # non-GNN models: embedders first

@@ -124,6 +124,32 @@ MODELS = [
             "compgcn.encoder.num_blocks_or_bases": 5,
         },
     ),
+    # relation-basis decomposition (first layer re-expresses relation
+    # embeddings from a learned basis) and the single-weight
+    # propagations
+    (
+        "compgcn",
+        {
+            "compgcn.encoder.use_stale_embeddings": False,
+            "compgcn.encoder.weight_decomposition": "relation_basis",
+            "compgcn.encoder.num_blocks_or_bases": 5,
+        },
+    ),
+    (
+        "compgcn",
+        {
+            "compgcn.encoder.use_stale_embeddings": False,
+            "compgcn.encoder.message_passing_args.propagation": "single",
+        },
+    ),
+    (
+        "compgcn",
+        {
+            "compgcn.encoder.use_stale_embeddings": False,
+            "compgcn.encoder.message_passing_args.propagation":
+                "single_with_self_edge_weight",
+        },
+    ),
     # edge/self-edge dropout pinned to 0: the reference TorchRgcnLayer
     # applies them UNCONDITIONALLY (rgnn_encoder.py:672-685 has no
     # self.training guard — torch.rand fires at eval too), so its eval
@@ -208,6 +234,9 @@ def _model_id(m, o):
     dec = o.get("compgcn.encoder.weight_decomposition")
     if dec:
         return f"compgcn-{dec}"
+    prop = o.get("compgcn.encoder.message_passing_args.propagation")
+    if prop:
+        return f"compgcn-{prop}"
     return m
 
 
@@ -547,10 +576,18 @@ def test_gradient_parity(ref, dataset_folder, tmp_path, model_name,
     ge_ref = ref_grad("_encoder.entity_embedder._embeddings.weight",
                       "_entity_embedder._embeddings.weight",
                       "_base_model._entity_embedder._embeddings.weight")
-    gr_ref = ref_grad("_encoder.relation_embedder._embeddings.weight",
-                      "_relation_embedder.base_embedder._embeddings.weight",
-                      "_relation_embedder._embeddings.weight",
-                      "_base_model._relation_embedder._embeddings.weight")
+    rel_basis = (overrides.get("compgcn.encoder.weight_decomposition")
+                 == "relation_basis")
+    if rel_basis:
+        # relation_basis REPLACES r with basis combinations — the
+        # relation table gets no gradient; compare the basis instead
+        gr_ref = ref_grad("_encoder.rgnn.gnn_layers.0.basis_vectors")
+    else:
+        gr_ref = ref_grad(
+            "_encoder.relation_embedder._embeddings.weight",
+            "_relation_embedder.base_embedder._embeddings.weight",
+            "_relation_embedder._embeddings.weight",
+            "_base_model._relation_embedder._embeddings.weight")
 
     js, jp = jnp.asarray(s.numpy()), jnp.asarray(p.numpy())
 
@@ -560,10 +597,15 @@ def test_gradient_parity(ref, dataset_folder, tmp_path, model_name,
 
     g = jax.grad(loss_fn)(params)
     ge_our = np.asarray(g["entity_embedder"]["weights"])
-    rtree = g["relation_embedder"]
-    gr_our = np.asarray(
-        rtree["base"]["weights"] if "base" in rtree else rtree["weights"]
-    )
+    if rel_basis:
+        gr_our = np.asarray(
+            g["encoder"]["layers"][0]["basis_vectors"]
+        )
+    else:
+        rtree = g["relation_embedder"]
+        gr_our = np.asarray(
+            rtree["base"]["weights"] if "base" in rtree else rtree["weights"]
+        )
     np.testing.assert_allclose(
         ge_ref, ge_our, rtol=1e-3, atol=1e-4,
         err_msg=f"{model_name} entity-table gradient diverges",
