@@ -24,6 +24,10 @@ _LOCK = threading.Lock()
 def _lib():
     global _LIB
     with _LOCK:
+        if isinstance(_LIB, Exception):
+            # negative cache: a failed build would otherwise re-run the
+            # multi-second g++ invocation on EVERY native-helper call
+            raise RuntimeError(str(_LIB))
         if _LIB is not None:
             return _LIB
         import hashlib
@@ -52,14 +56,16 @@ def _lib():
                     capture_output=True, text=True,
                 )
             except OSError as e:
-                raise RuntimeError(
+                _LIB = RuntimeError(
                     f"native build unavailable (no g++: {e}); callers "
                     "fall back to numpy"
-                ) from e
+                )
+                raise RuntimeError(str(_LIB)) from e
             if r.returncode != 0:
-                raise RuntimeError(
+                _LIB = RuntimeError(
                     f"native build failed: {r.stderr[-1000:]}"
                 )
+                raise RuntimeError(str(_LIB))
             os.replace(tmp, so)  # atomic: concurrent builders race safely
             with open(stamp + f".tmp-{os.getpid()}", "w") as f:
                 f.write(src_hash)
@@ -114,18 +120,12 @@ def load_triples_native(path: str) -> np.ndarray:
     return np.ascontiguousarray(out[:n])
 
 
-def row_blocks_native(agg_nodes: np.ndarray, nbr_nodes: np.ndarray,
-                      types: np.ndarray, positions: np.ndarray,
-                      num_nodes: int, K: int) -> dict:
-    """Padded-CSR row blocks via the O(E) C++ counting sort — same
-    output contract as encoder._row_blocks' numpy path (bitwise; the
-    stability contract matches argsort(kind="stable"))."""
+def _row_blocks_fwd(agg, nbr, typ, pos, num_nodes: int, K: int):
+    """Shared forward-fill core: returns (blocks dict, counts) with the
+    per-node edge counts the transpose pass also needs. Inputs must be
+    contiguous int32/int32/int32/int64 arrays."""
     lib = _lib()
-    E = int(agg_nodes.shape[0])
-    agg = np.ascontiguousarray(agg_nodes, dtype=np.int32)
-    nbr = np.ascontiguousarray(nbr_nodes, dtype=np.int32)
-    typ = np.ascontiguousarray(types, dtype=np.int32)
-    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    E = int(agg.shape[0])
     counts = np.empty(max(num_nodes, 1), dtype=np.int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -149,8 +149,24 @@ def row_blocks_native(agg_nodes: np.ndarray, nbr_nodes: np.ndarray,
     )
     if rc != 0:
         raise RuntimeError(f"row_blocks_fill failed (rc={rc})")
-    return {"nbr": nbr_out, "type": typ_out, "pos": pos_out,
-            "node": node_out}
+    return ({"nbr": nbr_out, "type": typ_out, "pos": pos_out,
+             "node": node_out}, counts)
+
+
+def row_blocks_native(agg_nodes: np.ndarray, nbr_nodes: np.ndarray,
+                      types: np.ndarray, positions: np.ndarray,
+                      num_nodes: int, K: int) -> dict:
+    """Padded-CSR row blocks via the O(E) C++ counting sort — same
+    output contract as encoder._row_blocks' numpy path (bitwise; the
+    stability contract matches argsort(kind="stable"))."""
+    fwd, _ = _row_blocks_fwd(
+        np.ascontiguousarray(agg_nodes, dtype=np.int32),
+        np.ascontiguousarray(nbr_nodes, dtype=np.int32),
+        np.ascontiguousarray(types, dtype=np.int32),
+        np.ascontiguousarray(positions, dtype=np.int64),
+        num_nodes, K,
+    )
+    return fwd
 
 
 def counting_argsort_native(keys: np.ndarray, num_buckets: int
@@ -185,32 +201,14 @@ def row_blocks_with_transpose_native(
     pos = np.ascontiguousarray(positions, dtype=np.int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
-    counts_f = np.empty(max(num_nodes, 1), dtype=np.int64)
+    fwd, counts_f = _row_blocks_fwd(agg, nbr, typ, pos, num_nodes, K)
     counts_t = np.empty(max(num_nodes, 1), dtype=np.int64)
-    total_f = lib.row_blocks_total(
-        agg.ctypes.data_as(i32p), E, num_nodes, K,
-        counts_f.ctypes.data_as(i64p),
-    )
     total_t = lib.row_blocks_total(
         nbr.ctypes.data_as(i32p), E, num_nodes, K,
         counts_t.ctypes.data_as(i64p),
     )
-    if total_f < 0 or total_t < 0:
-        raise RuntimeError("row_blocks_total failed")
-    nbr_out = np.empty((total_f, K), dtype=np.int32)
-    typ_out = np.empty((total_f, K), dtype=np.int32)
-    pos_out = np.empty((total_f, K), dtype=np.int32)
-    node_out = np.empty(total_f, dtype=np.int32)
-    rc = lib.row_blocks_fill(
-        agg.ctypes.data_as(i32p), nbr.ctypes.data_as(i32p),
-        typ.ctypes.data_as(i32p), pos.ctypes.data_as(i64p),
-        E, num_nodes, K, counts_f.ctypes.data_as(i64p),
-        nbr_out.ctypes.data_as(i32p), typ_out.ctypes.data_as(i32p),
-        pos_out.ctypes.data_as(i32p), node_out.ctypes.data_as(i32p),
-        total_f,
-    )
-    if rc != 0:
-        raise RuntimeError(f"row_blocks_fill failed (rc={rc})")
+    if total_t < 0:
+        raise RuntimeError(f"row_blocks_total failed (rc={total_t})")
     order = np.empty(E, dtype=np.int64)
     rc = lib.counting_argsort(
         agg.ctypes.data_as(i32p), E, num_nodes,
@@ -231,6 +229,4 @@ def row_blocks_with_transpose_native(
     )
     if rc != 0:
         raise RuntimeError(f"row_blocks_transpose_fill failed (rc={rc})")
-    fwd = {"nbr": nbr_out, "type": typ_out, "pos": pos_out,
-           "node": node_out}
     return fwd, trow, tpos, tnode

@@ -82,7 +82,12 @@ long parse_triples(const char* path, int32_t* out, long max_rows) {
 long row_blocks_total(const int32_t* agg, long E, long N, long K,
                       int64_t* counts) {
     for (long i = 0; i < N; i++) counts[i] = 0;
-    for (long e = 0; e < E; e++) counts[agg[e]]++;
+    for (long e = 0; e < E; e++) {
+        // out-of-range ids (corrupt data / understated num_entities)
+        // must fail cleanly, not write out of bounds
+        if (agg[e] < 0 || agg[e] >= N) return -4;
+        counts[agg[e]]++;
+    }
     long total = 0;
     for (long i = 0; i < N; i++) total += (counts[i] + K - 1) / K;
     return total;
@@ -138,7 +143,13 @@ long counting_argsort(const int32_t* keys, long E, long N,
                       int64_t* order_out) {
     int64_t* off = (int64_t*)calloc((size_t)N + 1, sizeof(int64_t));
     if (!off) return -1;
-    for (long e = 0; e < E; e++) off[keys[e] + 1]++;
+    for (long e = 0; e < E; e++) {
+        if (keys[e] < 0 || keys[e] >= N) {
+            free(off);
+            return -4;
+        }
+        off[keys[e] + 1]++;
+    }
     for (long i = 0; i < N; i++) off[i + 1] += off[i];
     for (long e = 0; e < E; e++) order_out[off[keys[e]]++] = e;
     free(off);

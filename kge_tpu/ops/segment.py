@@ -67,6 +67,17 @@ def ccorr(h_j: jnp.ndarray, h_r: jnp.ndarray) -> jnp.ndarray:
     return jnp.fft.irfft(spec, n=n, axis=-1)
 
 
+def ccorr_true(h_j: jnp.ndarray, h_r: jnp.ndarray) -> jnp.ndarray:
+    """Textbook circular correlation (full spectrum). Configure
+    ``composition: ccorr_true`` for checkpoints trained with kge_tpu
+    builds that predate the reference-quirk replication in ``ccorr``,
+    or when the exact operation is wanted."""
+    n = h_j.shape[-1]
+    fj = jnp.fft.rfft(h_j, axis=-1)
+    fr = jnp.fft.rfft(h_r, axis=-1)
+    return jnp.fft.irfft(jnp.conj(fj) * fr, n=n, axis=-1)
+
+
 # ---- compositions (reference: rgnn_utils.py:168-224) --------------------
 
 def composition_fn(name: str):
@@ -88,6 +99,10 @@ def composition_fn(name: str):
         return lambda h_i, h_j, h_r, w=None: ccorr(h_j, h_r)
     if name == "ccorr_weighted":
         return lambda h_i, h_j, h_r, w: ccorr(h_j * w, h_r)
+    if name == "ccorr_true":
+        return lambda h_i, h_j, h_r, w=None: ccorr_true(h_j, h_r)
+    if name == "ccorr_true_weighted":
+        return lambda h_i, h_j, h_r, w: ccorr_true(h_j * w, h_r)
     raise NotImplementedError(f"composition function {name} not found")
 
 

@@ -267,6 +267,18 @@ def convert_reference_checkpoint(ckpt: Dict[str, Any],
     sd = {k: np.asarray(v.detach().cpu().numpy())
           for k, v in sd_t.items()}
 
+    try:
+        class_name = config.get(f"{model_key}.class_name")
+    except KeyError:
+        class_name = ""
+    is_rgnn = class_name in ("RGCN", "WGCN", "CompGCN", "RAGAT")
+    if is_rgnn and dataset_folder is None:
+        # must be checked BEFORE model construction: the encoder loads
+        # the training graph in its constructor
+        raise ValueError(
+            "importing an R-GNN checkpoint requires --dataset-folder "
+            "(the encoder needs the training graph)"
+        )
     if dataset_folder is not None:
         dataset = Dataset.create(config, dataset_folder,
                                  preload_data=False)
@@ -285,23 +297,13 @@ def convert_reference_checkpoint(ckpt: Dict[str, Any],
         rel_rows = int(sd[rel_key].shape[0])
         # reciprocal wrappers and the R-GNN presets double the relation
         # vocabulary (inverse relations)
-        try:
-            class_name = config.get(f"{model_key}.class_name")
-        except KeyError:
-            class_name = ""
-        doubled = (model_key == "reciprocal_relations_model"
-                   or class_name in ("RGCN", "WGCN", "CompGCN", "RAGAT"))
+        doubled = (model_key == "reciprocal_relations_model" or is_rgnn)
         num_relations = rel_rows // 2 if doubled else rel_rows
         config.set("dataset.num_entities", num_entities)
         config.set("dataset.num_relations", num_relations)
         dataset = Dataset(config, folder=None)
 
     model = KgeModel.create(config, dataset)
-    if isinstance(model, KgeRgnnModel) and dataset.folder is None:
-        raise ValueError(
-            "importing an R-GNN checkpoint requires --dataset-folder "
-            "(the encoder needs the training graph)"
-        )
     params = model.init_params(jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(np.asarray, params)
     state = jax.tree_util.tree_map(np.asarray, model.init_state())

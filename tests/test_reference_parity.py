@@ -723,3 +723,27 @@ print("IMPORT-OK")
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "IMPORT-OK" in r.stdout
+
+
+def test_import_libkge_rgnn_requires_dataset_folder(ref, dataset_folder,
+                                                    tmp_path):
+    """Importing an R-GNN checkpoint without --dataset-folder must raise
+    the explanatory ValueError BEFORE model construction (the encoder
+    would otherwise crash on a bare TypeError loading the graph)."""
+    from kge_tpu.utils.import_libkge import (convert_reference_checkpoint,
+                                             load_reference_checkpoint)
+
+    torch = ref.torch
+    ref_cfg, ref_ds, ref_model = make_ref_model(
+        ref, dataset_folder, tmp_path, "compgcn",
+        {"compgcn.encoder.use_stale_embeddings": False},
+    )
+    path = str(tmp_path / "ref_compgcn.pt")
+    torch.save(
+        {"type": "train", "epoch": 1, "valid_trace": [],
+         "model": ref_model.save(), "config": ref_cfg},
+        path,
+    )
+    ckpt = load_reference_checkpoint(path)
+    with pytest.raises(ValueError, match="dataset-folder"):
+        convert_reference_checkpoint(ckpt)
