@@ -747,3 +747,47 @@ def test_import_libkge_rgnn_requires_dataset_folder(ref, dataset_folder,
     ckpt = load_reference_checkpoint(path)
     with pytest.raises(ValueError, match="dataset-folder"):
         convert_reference_checkpoint(ckpt)
+
+
+def test_imported_checkpoint_fine_tunes(ref, dataset_folder, tmp_path):
+    """The migration path continues into training: an imported LibKGE
+    checkpoint serves as pretrained initialization
+    (lookup_embedder.pretrain.model_filename) and one training epoch
+    runs from the reference's weights."""
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+    from kge_tpu.utils.import_libkge import import_reference_checkpoint
+    from kge_tpu.utils.io import save_checkpoint
+
+    torch = ref.torch
+    ref_cfg, ref_ds, ref_model = make_ref_model(
+        ref, dataset_folder, tmp_path, "complex", {}
+    )
+    path = str(tmp_path / "ref_ft.pt")
+    torch.save(
+        {"type": "train", "epoch": 1, "valid_trace": [],
+         "model": ref_model.save(), "config": ref_cfg},
+        path,
+    )
+    converted = str(tmp_path / "converted_ft.pt")
+    save_checkpoint(converted, import_reference_checkpoint(
+        path, dataset_folder=dataset_folder))
+
+    cfg, ds, model, _ = make_our_model(dataset_folder, "complex", {})
+    cfg.set("train.type", "1vsAll")
+    cfg.set("train.batch_size", 16)
+    cfg.set("train.max_epochs", 1)
+    cfg.set("valid.every", 0)
+    for side in ("entity", "relation"):
+        cfg.set(f"complex.{side}_embedder.pretrain.model_filename",
+                converted)
+    job = TrainingJob.create(cfg, ds)
+    ref_table = ref_model.state_dict()[
+        "_entity_embedder._embeddings.weight"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(job.params["entity_embedder"]["weights"])[:N_ENT],
+        ref_table, rtol=1e-6,
+        err_msg="pretrained init did not pick up the imported weights",
+    )
+    trace = job.run()
+    assert np.isfinite(trace["avg_loss"])
