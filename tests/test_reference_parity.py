@@ -791,3 +791,48 @@ def test_imported_checkpoint_fine_tunes(ref, dataset_folder, tmp_path):
     )
     trace = job.run()
     assert np.isfinite(trace["avg_loss"])
+
+
+def test_drilldown_metric_parity(ref, dataset_folder, tmp_path):
+    """Every head/tail and relation-type drilldown metric the reference
+    emits (hits_at_K_{1-1,1-N,M-1,M-N}_{head,tail}, raw and filtered,
+    plus MRR/MR variants) must match name-for-name and value-for-value
+    with identical injected weights."""
+    from kge_tpu.evaluation.eval import EvaluationJob
+
+    torch = ref.torch
+    extra = [
+        ("entity_ranking.metrics_per.head_and_tail", True),
+        ("entity_ranking.metrics_per.relation_type", True),
+    ]
+    ref_cfg, ref_ds, ref_model = make_ref_model(
+        ref, dataset_folder, tmp_path, "complex", {}, extra_config=extra
+    )
+    cfg, ds, model, params = make_our_model(
+        dataset_folder, "complex", {}, extra_config=extra
+    )
+    state = model.init_state()
+    params = inject_ref_weights(model, params, state, ref_model)
+
+    ref_eval = ref.EvaluationJob.create(ref_cfg, ref_ds, model=ref_model)
+    ref_trace = ref_eval.run()
+    cfg.set("job.type", "eval")
+    job = EvaluationJob.create(cfg, ds, model=model)
+    job.set_params(params, state)
+    trace = job.run()
+
+    import re
+
+    drill = sorted(
+        k for k, v in ref_trace.items()
+        if isinstance(v, (int, float)) and not isinstance(v, bool)
+        and re.search(r"_head$|_tail$|_1-1_|_1-N_|_M-1_|_M-N_", k)
+        and np.isfinite(v)
+    )
+    assert len(drill) >= 60, f"unexpectedly few drilldown keys: {drill}"
+    for k in drill:
+        assert k in trace, f"our trace lacks drilldown key {k}"
+        np.testing.assert_allclose(
+            ref_trace[k], trace[k], rtol=1e-4, atol=1e-6,
+            err_msg=f"drilldown metric {k} diverges",
+        )
