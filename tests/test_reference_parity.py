@@ -804,6 +804,7 @@ def test_drilldown_metric_parity(ref, dataset_folder, tmp_path):
     extra = [
         ("entity_ranking.metrics_per.head_and_tail", True),
         ("entity_ranking.metrics_per.relation_type", True),
+        ("entity_ranking.metrics_per.argument_frequency", True),
     ]
     ref_cfg, ref_ds, ref_model = make_ref_model(
         ref, dataset_folder, tmp_path, "complex", {}, extra_config=extra
@@ -826,7 +827,7 @@ def test_drilldown_metric_parity(ref, dataset_folder, tmp_path):
     drill = sorted(
         k for k, v in ref_trace.items()
         if isinstance(v, (int, float)) and not isinstance(v, bool)
-        and re.search(r"_head$|_tail$|_1-1_|_1-N_|_M-1_|_M-N_", k)
+        and re.search(r"_head$|_tail$|_1-1_|_1-N_|_M-1_|_M-N_|%", k)
         and np.isfinite(v)
     )
     assert len(drill) >= 60, f"unexpectedly few drilldown keys: {drill}"
