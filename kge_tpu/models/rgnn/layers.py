@@ -576,6 +576,91 @@ class MessagePassingLayer(RgnnLayerBase):
             segment_sum(den, node, N, indices_are_sorted=True),
         )
 
+    def _halo_attention(self, params, x, r_full, graph, rb_key, mask,
+                        weight, head: int, drop_mask, mesh):
+        """RAGAT attention under a vocab-sharded mesh: the same
+        edge-partitioned halo layout as _halo_rowblock, but exchanging
+        RAW entity embeddings (attention composes per edge, so the mode
+        matmul cannot hoist before the gather). Each shard builds its
+        gather table = local [S, d] slice ++ one all_to_all of the
+        cross-shard boundary rows, then runs the numerator/denominator
+        accumulation locally. Relation tables, attention vectors, and
+        per-edge scalars stay replicated."""
+        from jax.sharding import PartitionSpec as PS
+
+        send = graph[f"halo_{rb_key}_send"]
+        nbrh = graph[f"halo_{rb_key}_nbr"]
+        posh = graph[f"halo_{rb_key}_pos"]
+        typh = graph[f"halo_{rb_key}_type"]
+        nodeh = graph[f"halo_{rb_key}_node"]
+        S = int(graph["halo_shard_size"])
+        Pn = nbrh.shape[0]
+        Npad = Pn * S
+        d = x.shape[1]
+        K = nbrh.shape[2]
+        N = self.num_entities
+        x_pad = jnp.pad(x, ((0, Npad - x.shape[0]), (0, 0)))
+        att_w = params[f"w_att_h{head}"]
+        mw_table = (params[f"w_msgweight_h{head}"]
+                    if self.message_weight else jnp.zeros((1, d), x.dtype))
+        alpha = (params["alpha"] if self.learned_relation_weight
+                 else jnp.zeros((1, 1), x.dtype))
+        dm = (drop_mask if drop_mask is not None
+              else jnp.ones((Pn, 1, K), x.dtype))
+
+        def local(x_l, send_l, nbr_l, pos_l, typ_l, node_l, dm_l,
+                  r_t, w, aw, mw_t, al, sc):
+            send_buf = jnp.take(x_l, send_l[0], axis=0)
+            halo = jax.lax.all_to_all(send_buf, "model", 0, 0)
+            tab = jnp.concatenate([x_l, halo.reshape(-1, d)], axis=0)
+            node_loc = node_l[0]
+            h_i = jnp.take(x_l, node_loc, axis=0)
+
+            @jax.checkpoint
+            def accumulate(tab, h_i, r_t, w, aw, mw_t, al, sc):
+                num = jnp.zeros((node_loc.shape[0], self.out_dim),
+                                x_l.dtype)
+                den = jnp.zeros((node_loc.shape[0], 1), x_l.dtype)
+                for k in range(K):
+                    nb, tp, p = (nbr_l[0, :, k], typ_l[0, :, k],
+                                 pos_l[0, :, k])
+                    s = jnp.where(
+                        p >= 0, jnp.take(sc, jnp.maximum(p, 0)), 0.0
+                    )
+                    h_j = jnp.take(tab, nb, axis=0)
+                    h_r = jnp.take(r_t, tp, axis=0)
+                    mw = (jnp.take(mw_t, tp, axis=0)
+                          if self.message_weight else None)
+                    m = self.composition(h_i, h_j, h_r, mw) @ w
+                    if self.learned_relation_weight:
+                        m = m * jnp.take(al, tp, axis=0)
+                    m = m * s[:, None]
+                    score = -jax.nn.leaky_relu(
+                        (m @ aw)[:, 0], negative_slope=0.2
+                    )
+                    e = jnp.where(p >= 0, jnp.exp(score), 0.0)
+                    ed = e * dm_l[0, :, k] if drop_mask is not None else e
+                    num = num + ed[:, None] * m
+                    den = den + e[:, None]
+                return num, den
+
+            num, den = accumulate(tab, h_i, r_t, w, aw, mw_t, al, sc)
+            return (segment_sum(num, node_loc, S, indices_are_sorted=True),
+                    segment_sum(den, node_loc, S, indices_are_sorted=True))
+
+        dm_spec = PS("model", None, None)
+        num, den = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(PS("model", None), PS("model", None, None),
+                      PS("model", None, None), PS("model", None, None),
+                      PS("model", None, None), PS("model", None),
+                      dm_spec, PS(), PS(), PS(), PS(), PS(), PS()),
+            out_specs=(PS("model", None), PS("model", None)),
+            check_vma=False,
+        )(x_pad, send, nbrh, posh, typh, nodeh, dm, r_full, weight,
+          att_w, mw_table, alpha, mask)
+        return num[:N], den[:N]
+
     def _per_relation_out(self, params, x, r_full, graph, edge_mask,
                           ctx: Ctx) -> jnp.ndarray:
         """Scan over padded relation buckets; one matmul per relation."""
@@ -716,17 +801,32 @@ class MessagePassingLayer(RgnnLayerBase):
                             "single" if self.self_edge_weight
                             else "single_with_loops"
                         )
+                        use_halo = (graph.get("halo_mesh") is not None
+                                    and f"halo_{rb_key}_nbr" in graph)
+                        mask_shape = (graph[f"halo_{rb_key}_nbr"].shape
+                                      if use_halo
+                                      else graph[f"rb_{rb_key}_nbr"].shape)
                         drop_mask = None
                         if ctx.train and self.prop_dropout > 0:
+                            # under the mesh the mask is drawn in the
+                            # per-shard layout: a valid dropout pattern,
+                            # though not bit-identical to single-device
                             keep = 1.0 - self.prop_dropout
                             drop_mask = jax.random.bernoulli(
-                                ctx.take_rng(), keep,
-                                graph[f"rb_{rb_key}_nbr"].shape,
+                                ctx.take_rng(), keep, mask_shape,
                             ).astype(x.dtype) / keep
-                        n_m, d_m = self._row_block_attention(
-                            params, x, r_full, graph, rb_key, mask,
-                            params[f"w_{mode}_h{head}"], head, drop_mask,
-                        )
+                        if use_halo:
+                            n_m, d_m = self._halo_attention(
+                                params, x, r_full, graph, rb_key, mask,
+                                params[f"w_{mode}_h{head}"], head,
+                                drop_mask, graph["halo_mesh"],
+                            )
+                        else:
+                            n_m, d_m = self._row_block_attention(
+                                params, x, r_full, graph, rb_key, mask,
+                                params[f"w_{mode}_h{head}"], head,
+                                drop_mask,
+                            )
                         num = num + n_m
                         den = den + d_m
                 den = jnp.where(den == 0.0, 1.0, den)

@@ -292,3 +292,53 @@ def test_fused_eval_under_vocab_sharding_matches_generic():
     for key in ("mean_reciprocal_rank", "mean_reciprocal_rank_filtered",
                 "mean_rank_filtered", "hits_at_1", "hits_at_10_filtered"):
         assert abs(results["generic"][key] - results["fused"][key]) < 1e-9, key
+
+
+def test_sharded_ragat_attention_matches_single_device(monkeypatch):
+    """RAGAT attention under the 4x2 mesh must route through the halo
+    attention path (boundary exchange of RAW embeddings — the attention
+    composition cannot hoist the mode matmul before the gather) and
+    reproduce single-device eval scores."""
+    import jax.numpy as jnp
+
+    from kge_tpu.models import Ctx, KgeModel
+    from kge_tpu.models.rgnn.layers import MessagePassingLayer
+
+    halo_calls = []
+    orig = MessagePassingLayer._halo_attention
+
+    def spy(self, *a, **k):
+        halo_calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(MessagePassingLayer, "_halo_attention", spy)
+    scores = {}
+    for mesh_shape in [(1, 1), (4, 2)]:
+        config = create_config("dataset_test", model="ragat")
+        for key in ("ragat.entity_embedder.dim",
+                    "ragat.relation_embedder.dim",
+                    "ragat.decoder.base_model.entity_embedder.dim",
+                    "ragat.decoder.base_model.relation_embedder.dim"):
+            config.set(key, 16, create=True)
+        config.set("ragat.encoder.use_stale_embeddings", False)
+        config.set("tpu.mesh.data", mesh_shape[0])
+        config.set("tpu.mesh.model", mesh_shape[1])
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        model = KgeModel.create(config, dataset)
+        params = model.init_params(jax.random.PRNGKey(9))
+        state = model.init_state()
+        if mesh_shape != (1, 1):
+            m = build_mesh(config)
+            params = jax.device_put(params, params_sharding(m, params))
+            enc = model._encoder
+            enc._halo_mesh = m  # what prepare_job does for a real job
+            enc._maybe_build_halo()
+        sc = model.score_sp(
+            params, jnp.asarray([0, 1, 2]), jnp.asarray([0, 1, 2]),
+            ctx=Ctx(state=state),
+        )
+        scores[mesh_shape] = np.asarray(sc)
+    assert halo_calls, "mesh run did not route through halo attention"
+    np.testing.assert_allclose(
+        scores[(1, 1)], scores[(4, 2)], rtol=1e-4, atol=1e-5,
+    )
