@@ -517,44 +517,43 @@ class MessagePassingLayer(RgnnLayerBase):
             ))
         return tuple(keys)
 
-    def _row_block_attention(self, params, x, r_full, graph, rb_key,
-                             mask, weight, head: int, drop_mask):
+    def _attention_accumulate(self, tab, node, nbr, types, pos, sc,
+                              r_full, weight, att_w, mw_table, alpha,
+                              drop_mask):
         """Numerator/denominator of the RAGAT edge softmax accumulated
         over padded-CSR row blocks — per column: compose, transform,
         score, exp — with NO [E, d] message buffer (the legacy concat
         branch in apply() materializes three of them; reference
         rgnn_encoder.py:562-584 keeps per-edge messages by design).
-        ``mask`` is the per-edge mask vector the rb position arrays
-        index; ``drop_mask`` is the pre-drawn propagation-dropout
-        multiplier per (row, k) entry (None = eval). The accumulation is
-        rematerialized in the backward (jax.checkpoint) so autodiff
-        keeps no per-column message residuals."""
-        nbr = graph[f"rb_{rb_key}_nbr"]
-        types = graph[f"rb_{rb_key}_type"]
-        pos = graph[f"rb_{rb_key}_pos"]
-        node = graph[f"rb_{rb_key}_node"]
+        The single copy of these numerics shared by the single-device
+        path and the sharded halo path: ``tab`` is the neighbor gather
+        source (the full embedding table, or a shard's local slice ++
+        exchanged boundary rows — whose leading rows double as the
+        destination source for ``node``). ``sc`` is the per-edge mask
+        vector the ``pos`` arrays index; ``drop_mask`` the pre-drawn
+        propagation-dropout multiplier per (row, k) entry (None =
+        eval). The accumulation is rematerialized in the backward
+        (jax.checkpoint) so autodiff keeps no per-column residuals.
+        ``mw_table``/``alpha`` are only read when the corresponding
+        layer flag is set (callers may pass None or dummies)."""
         K = nbr.shape[1]
-        N = self.num_entities
-        mw_table = (params[f"w_msgweight_h{head}"]
-                    if self.message_weight else None)
-        alpha = params["alpha"] if self.learned_relation_weight else None
 
         @jax.checkpoint
-        def accumulate(x, r_full, weight, att_w, mw_table, alpha, mask):
-            h_i = jnp.take(x, node, axis=0)
-            num = jnp.zeros((node.shape[0], self.out_dim), x.dtype)
-            den = jnp.zeros((node.shape[0], 1), x.dtype)
+        def accumulate(tab, r_full, weight, att_w, mw_table, alpha, sc):
+            h_i = jnp.take(tab, node, axis=0)
+            num = jnp.zeros((node.shape[0], self.out_dim), tab.dtype)
+            den = jnp.zeros((node.shape[0], 1), tab.dtype)
             for k in range(K):
                 nb, tp, p = nbr[:, k], types[:, k], pos[:, k]
                 s = jnp.where(
-                    p >= 0, jnp.take(mask, jnp.maximum(p, 0)), 0.0
+                    p >= 0, jnp.take(sc, jnp.maximum(p, 0)), 0.0
                 )
-                h_j = jnp.take(x, nb, axis=0)
+                h_j = jnp.take(tab, nb, axis=0)
                 h_r = jnp.take(r_full, tp, axis=0)
                 mw = (jnp.take(mw_table, tp, axis=0)
-                      if mw_table is not None else None)
+                      if self.message_weight else None)
                 m = self.composition(h_i, h_j, h_r, mw) @ weight
-                if alpha is not None:
+                if self.learned_relation_weight:
                     m = m * jnp.take(alpha, tp, axis=0)
                 m = m * s[:, None]
                 # identical numerics to the legacy path: score on the
@@ -568,96 +567,107 @@ class MessagePassingLayer(RgnnLayerBase):
                 den = den + e[:, None]
             return num, den
 
-        num, den = accumulate(x, r_full, weight,
-                              params[f"w_att_h{head}"], mw_table, alpha,
-                              mask)
+        return accumulate(tab, r_full, weight, att_w, mw_table, alpha,
+                          sc)
+
+    def _row_block_attention(self, params, x, r_full, graph, rb_key,
+                             mask, weight, head: int, drop_mask):
+        """Single-device RAGAT attention over padded-CSR row blocks
+        (numerics in _attention_accumulate)."""
+        node = graph[f"rb_{rb_key}_node"]
+        N = self.num_entities
+        mw_table = (params[f"w_msgweight_h{head}"]
+                    if self.message_weight else None)
+        alpha = params["alpha"] if self.learned_relation_weight else None
+        num, den = self._attention_accumulate(
+            x, node, graph[f"rb_{rb_key}_nbr"], graph[f"rb_{rb_key}_type"],
+            graph[f"rb_{rb_key}_pos"], mask, r_full, weight,
+            params[f"w_att_h{head}"], mw_table, alpha, drop_mask,
+        )
         return (
             segment_sum(num, node, N, indices_are_sorted=True),
             segment_sum(den, node, N, indices_are_sorted=True),
         )
 
-    def _halo_attention(self, params, x, r_full, graph, rb_key, mask,
-                        weight, head: int, drop_mask, mesh):
-        """RAGAT attention under a vocab-sharded mesh: the same
-        edge-partitioned halo layout as _halo_rowblock, but exchanging
-        RAW entity embeddings (attention composes per edge, so the mode
-        matmul cannot hoist before the gather). Each shard builds its
-        gather table = local [S, d] slice ++ one all_to_all of the
-        cross-shard boundary rows, then runs the numerator/denominator
-        accumulation locally. Relation tables, attention vectors, and
-        per-edge scalars stay replicated."""
+    def _halo_gather_table(self, x, graph, rb_key, mesh) -> jnp.ndarray:
+        """Per-shard neighbor gather table for attention under the
+        vocab-sharded mesh: local [S, d] slice ++ one all_to_all of the
+        cross-shard boundary rows (slot layout as in _halo_rowblock).
+        Attention composes per edge, so the mode matmul cannot hoist
+        before the gather the way _halo_rowblock's xw payload does —
+        the exchanged payload here is RAW x, independent of the head
+        and mode weights, so one table per edge set is built per layer
+        application and shared across all heads (and across modes with
+        the same rb_key). Returns [P, S + P*rmax, d] sharded over the
+        model axis."""
         from jax.sharding import PartitionSpec as PS
 
         send = graph[f"halo_{rb_key}_send"]
+        S = int(graph["halo_shard_size"])
+        Pn = send.shape[0]
+        d = x.shape[1]
+        x_pad = jnp.pad(x, ((0, Pn * S - x.shape[0]), (0, 0)))
+
+        def local(x_l, send_l):
+            send_buf = jnp.take(x_l, send_l[0], axis=0)
+            halo = jax.lax.all_to_all(send_buf, "model", 0, 0)
+            return jnp.concatenate([x_l, halo.reshape(-1, d)],
+                                   axis=0)[None]
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(PS("model", None), PS("model", None, None)),
+            out_specs=PS("model", None, None),
+            check_vma=False,
+        )(x_pad, send)
+
+    def _halo_attention(self, params, tab, r_full, graph, rb_key, mask,
+                        weight, head: int, drop_mask, mesh):
+        """RAGAT attention under a vocab-sharded mesh: the same
+        edge-partitioned halo layout as _halo_rowblock, consuming the
+        pre-exchanged gather table from _halo_gather_table and running
+        the numerator/denominator accumulation shard-locally. Relation
+        tables, attention vectors, and per-edge scalars stay
+        replicated."""
+        from jax.sharding import PartitionSpec as PS
+
         nbrh = graph[f"halo_{rb_key}_nbr"]
         posh = graph[f"halo_{rb_key}_pos"]
         typh = graph[f"halo_{rb_key}_type"]
         nodeh = graph[f"halo_{rb_key}_node"]
         S = int(graph["halo_shard_size"])
         Pn = nbrh.shape[0]
-        Npad = Pn * S
-        d = x.shape[1]
         K = nbrh.shape[2]
         N = self.num_entities
-        x_pad = jnp.pad(x, ((0, Npad - x.shape[0]), (0, 0)))
+        d = tab.shape[2]
         att_w = params[f"w_att_h{head}"]
         mw_table = (params[f"w_msgweight_h{head}"]
-                    if self.message_weight else jnp.zeros((1, d), x.dtype))
+                    if self.message_weight else jnp.zeros((1, d), tab.dtype))
         alpha = (params["alpha"] if self.learned_relation_weight
-                 else jnp.zeros((1, 1), x.dtype))
+                 else jnp.zeros((1, 1), tab.dtype))
         dm = (drop_mask if drop_mask is not None
-              else jnp.ones((Pn, 1, K), x.dtype))
+              else jnp.ones((Pn, 1, K), tab.dtype))
 
-        def local(x_l, send_l, nbr_l, pos_l, typ_l, node_l, dm_l,
+        def local(tab_l, nbr_l, pos_l, typ_l, node_l, dm_l,
                   r_t, w, aw, mw_t, al, sc):
-            send_buf = jnp.take(x_l, send_l[0], axis=0)
-            halo = jax.lax.all_to_all(send_buf, "model", 0, 0)
-            tab = jnp.concatenate([x_l, halo.reshape(-1, d)], axis=0)
             node_loc = node_l[0]
-            h_i = jnp.take(x_l, node_loc, axis=0)
-
-            @jax.checkpoint
-            def accumulate(tab, h_i, r_t, w, aw, mw_t, al, sc):
-                num = jnp.zeros((node_loc.shape[0], self.out_dim),
-                                x_l.dtype)
-                den = jnp.zeros((node_loc.shape[0], 1), x_l.dtype)
-                for k in range(K):
-                    nb, tp, p = (nbr_l[0, :, k], typ_l[0, :, k],
-                                 pos_l[0, :, k])
-                    s = jnp.where(
-                        p >= 0, jnp.take(sc, jnp.maximum(p, 0)), 0.0
-                    )
-                    h_j = jnp.take(tab, nb, axis=0)
-                    h_r = jnp.take(r_t, tp, axis=0)
-                    mw = (jnp.take(mw_t, tp, axis=0)
-                          if self.message_weight else None)
-                    m = self.composition(h_i, h_j, h_r, mw) @ w
-                    if self.learned_relation_weight:
-                        m = m * jnp.take(al, tp, axis=0)
-                    m = m * s[:, None]
-                    score = -jax.nn.leaky_relu(
-                        (m @ aw)[:, 0], negative_slope=0.2
-                    )
-                    e = jnp.where(p >= 0, jnp.exp(score), 0.0)
-                    ed = e * dm_l[0, :, k] if drop_mask is not None else e
-                    num = num + ed[:, None] * m
-                    den = den + e[:, None]
-                return num, den
-
-            num, den = accumulate(tab, h_i, r_t, w, aw, mw_t, al, sc)
+            num, den = self._attention_accumulate(
+                tab_l[0], node_loc, nbr_l[0], typ_l[0], pos_l[0], sc,
+                r_t, w, aw, mw_t, al,
+                dm_l[0] if drop_mask is not None else None,
+            )
             return (segment_sum(num, node_loc, S, indices_are_sorted=True),
                     segment_sum(den, node_loc, S, indices_are_sorted=True))
 
-        dm_spec = PS("model", None, None)
         num, den = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(PS("model", None), PS("model", None, None),
+            in_specs=(PS("model", None, None), PS("model", None, None),
                       PS("model", None, None), PS("model", None, None),
-                      PS("model", None, None), PS("model", None),
-                      dm_spec, PS(), PS(), PS(), PS(), PS(), PS()),
+                      PS("model", None), PS("model", None, None),
+                      PS(), PS(), PS(), PS(), PS(), PS()),
             out_specs=(PS("model", None), PS("model", None)),
             check_vma=False,
-        )(x_pad, send, nbrh, posh, typh, nodeh, dm, r_full, weight,
+        )(tab, nbrh, posh, typh, nodeh, dm, r_full, weight,
           att_w, mw_table, alpha, mask)
         return num[:N], den[:N]
 
@@ -760,6 +770,7 @@ class MessagePassingLayer(RgnnLayerBase):
 
         num_modes = len(self.modes)
         head_outputs = []
+        halo_tabs = {}  # one boundary exchange per rb_key, all heads
         for head in range(self.num_heads):
             if self.propagation.startswith("per_relation"):
                 out = self._per_relation_out(
@@ -816,8 +827,13 @@ class MessagePassingLayer(RgnnLayerBase):
                                 ctx.take_rng(), keep, mask_shape,
                             ).astype(x.dtype) / keep
                         if use_halo:
+                            if rb_key not in halo_tabs:
+                                halo_tabs[rb_key] = self._halo_gather_table(
+                                    x, graph, rb_key, graph["halo_mesh"]
+                                )
                             n_m, d_m = self._halo_attention(
-                                params, x, r_full, graph, rb_key, mask,
+                                params, halo_tabs[rb_key], r_full, graph,
+                                rb_key, mask,
                                 params[f"w_{mode}_h{head}"], head,
                                 drop_mask, graph["halo_mesh"],
                             )

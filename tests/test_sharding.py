@@ -342,3 +342,49 @@ def test_sharded_ragat_attention_matches_single_device(monkeypatch):
     np.testing.assert_allclose(
         scores[(1, 1)], scores[(4, 2)], rtol=1e-4, atol=1e-5,
     )
+
+
+def _ragat_train_config(mesh, prop_dropout):
+    config = create_config("dataset_test", model="ragat")
+    config.set("ragat.decoder.model", "distmult")
+    config.set("ragat.decoder.type", "distmult")
+    for key in ("ragat.entity_embedder.dim",
+                "ragat.relation_embedder.dim",
+                "ragat.decoder.base_model.entity_embedder.dim",
+                "ragat.decoder.base_model.relation_embedder.dim"):
+        config.set(key, 16, create=True)
+    config.set("ragat.encoder.emb_entity_dropout", 0.0)
+    config.set(
+        "ragat.encoder.message_passing_args.emb_propagation_dropout",
+        prop_dropout,
+    )
+    config.set("train.type", "negative_sampling")
+    config.set("negative_sampling.num_samples.s", 3)
+    config.set("negative_sampling.num_samples.o", 3)
+    config.set("train.batch_size", 8)
+    config.set("train.max_epochs", 1)
+    config.set("valid.every", 0)
+    config.set("random_seed.default", 31)
+    config.set("tpu.mesh.data", mesh[0])
+    config.set("tpu.mesh.model", mesh[1])
+    return config
+
+
+def test_sharded_ragat_training_matches_single_device():
+    """TRAIN-mode coverage of the halo attention path: the backward
+    through the boundary all_to_all under the checkpointed closure must
+    give the same first-epoch loss as one device (propagation dropout
+    pinned to 0 so both layouts are deterministic), and the per-shard
+    (P, Rmax, K) dropout-mask branch must run and stay finite at the
+    model's default dropout."""
+    losses = []
+    for mesh in [(1, 1), (4, 2)]:
+        config = _ragat_train_config(mesh, prop_dropout=0.0)
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        losses.append(TrainingJob.create(config, dataset).run()["avg_loss"])
+    assert abs(losses[0] - losses[1]) < 1e-4, losses
+    # dropout branch: mask drawn in the per-shard halo layout
+    config = _ragat_train_config((4, 2), prop_dropout=0.4)
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    loss = TrainingJob.create(config, dataset).run()["avg_loss"]
+    assert np.isfinite(loss)
