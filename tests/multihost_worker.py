@@ -17,14 +17,21 @@ import sys
 def configure_model(config, model_name):
     """Model-specific keys shared by the workers and the single-process
     comparator (tests/test_multihost.py)."""
-    if model_name == "compgcn":
-        config.set("compgcn.decoder.model", "distmult")
-        config.set("compgcn.decoder.type", "distmult")
-        for key in ("compgcn.entity_embedder.dim",
-                    "compgcn.relation_embedder.dim",
-                    "compgcn.decoder.base_model.entity_embedder.dim",
-                    "compgcn.decoder.base_model.relation_embedder.dim"):
+    if model_name in ("compgcn", "ragat"):
+        config.set(f"{model_name}.decoder.model", "distmult")
+        config.set(f"{model_name}.decoder.type", "distmult")
+        for key in (f"{model_name}.entity_embedder.dim",
+                    f"{model_name}.relation_embedder.dim",
+                    f"{model_name}.decoder.base_model.entity_embedder.dim",
+                    f"{model_name}.decoder.base_model.relation_embedder.dim"):
             config.set(key, 16, create=True)
+        if model_name == "ragat":
+            # deterministic across process layouts
+            config.set("ragat.encoder.emb_entity_dropout", 0.0)
+            config.set(
+                "ragat.encoder.message_passing_args"
+                ".emb_propagation_dropout", 0.0,
+            )
     else:
         config.set("lookup_embedder.dim", 16)
 

@@ -121,11 +121,13 @@ def test_two_process_cpu_cluster_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
-def test_two_process_gnn_halo_matches_single_process(tmp_path):
-    """CompGCN on the 2-process hybrid mesh: the edge-partitioned halo
-    aggregation (boundary all_to_all inside each process's model axis)
-    must engage under jax.distributed and reproduce the single-process
-    2x2-mesh loss trajectory."""
+@pytest.mark.parametrize("model_name", ["compgcn", "ragat"])
+def test_two_process_gnn_halo_matches_single_process(tmp_path, model_name):
+    """GNN models on the 2-process hybrid mesh: the edge-partitioned
+    halo paths (CompGCN: hoisted-payload rowblock aggregation; RAGAT:
+    raw-embedding gather-table exchange + shard-local attention
+    softmax) must engage under jax.distributed and reproduce the
+    single-process 2x2-mesh loss trajectory."""
     port = _free_port()
     outdir = str(tmp_path)
     env = {
@@ -136,7 +138,7 @@ def test_two_process_gnn_halo_matches_single_process(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "tests.multihost_worker",
-             str(pid), "2", str(port), outdir, "compgcn"],
+             str(pid), "2", str(port), outdir, model_name],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
@@ -160,5 +162,5 @@ def test_two_process_gnn_halo_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         results[0]["losses"], results[1]["losses"], rtol=0, atol=0
     )
-    single, _ = _single_process_losses("compgcn")
+    single, _ = _single_process_losses(model_name)
     np.testing.assert_allclose(results[0]["losses"], single, rtol=1e-5)
