@@ -152,10 +152,36 @@ def main():
 
     # regime 2: Wikidata5M scale (bandwidth-bound; 2.3 GiB entity table,
     # dense Adagrad passes dominate). Fewer steps: each one moves ~14 GB.
-    w5m_tps, w5m_sec, w5m_rl = bench_negsamp(
-        num_entities=4_818_679, num_relations=828, num_triples=500_000,
-        steps=16, distinct_batches=4,
-    )
+    # Guarded: a failure here must not lose the headline metric line.
+    extras = {}
+    try:
+        w5m_tps, w5m_sec, w5m_rl = bench_negsamp(
+            num_entities=4_818_679, num_relations=828, num_triples=500_000,
+            steps=16, distinct_batches=4,
+        )
+        extras.update({
+            "w5m_train_triples_per_s": round(w5m_tps, 1),
+            "w5m_step_ms": round(w5m_sec * 1e3, 2),
+            "w5m_achieved_GBps": w5m_rl["achieved_GBps"],
+            "w5m_pct_hbm_roofline": w5m_rl["pct_hbm_roofline"],
+            "w5m_entity_table_GiB": round(4_818_679 * 128 * 4 / 2 ** 30, 2),
+        })
+    except Exception as e:
+        print(f"bench: W5M section skipped: {e!r}", file=sys.stderr)
+
+    # regime 3: CompGCN full-graph message passing (the GNN headline,
+    # bandwidth-bound segment ops), same guard.
+    try:
+        from bench_gnn import measure as measure_gnn
+
+        g = measure_gnn()
+        extras.update({
+            "gnn_edges_per_s": g["value"],
+            "gnn_step_ms": g["step_ms"],
+            "gnn_pct_hbm_roofline": g["pct_hbm_roofline"],
+        })
+    except Exception as e:
+        print(f"bench: GNN section skipped: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "train_triples_per_s_complex_negsamp_fb15k237_scale",
@@ -163,11 +189,7 @@ def main():
         "unit": "triples/s/chip",
         "vs_baseline": round(fb_tps / REFERENCE_TRIPLES_PER_S, 3),
         **fb_rl,
-        "w5m_train_triples_per_s": round(w5m_tps, 1),
-        "w5m_step_ms": round(w5m_sec * 1e3, 2),
-        "w5m_achieved_GBps": w5m_rl["achieved_GBps"],
-        "w5m_pct_hbm_roofline": w5m_rl["pct_hbm_roofline"],
-        "w5m_entity_table_GiB": round(4_818_679 * 128 * 4 / 2 ** 30, 2),
+        **extras,
     }))
 
 

@@ -12,7 +12,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def main(dim=200, num_entities=14541, num_relations=237, num_triples=272115):
+def measure(dim=200, num_entities=14541, num_relations=237,
+            num_triples=272115):
+    """Compile + time the CompGCN step; returns the metric fields."""
     from kge_tpu import Config
     from kge_tpu.train.train import TrainingJob
     from bench import build_synthetic_dataset
@@ -60,7 +62,7 @@ def main(dim=200, num_entities=14541, num_relations=237, num_triples=272115):
         gnn_step_bytes(num_triples * 2, dim, num_layers), 0.0, sec_per_step
     )
     rl.pop("GFLOPs_per_s")  # bandwidth-bound; FLOP side not modeled
-    print(json.dumps({
+    return {
         "metric": "gnn_edges_per_s_compgcn_fb15k237_scale",
         "value": round(edges_per_step / sec_per_step, 1),
         "unit": "edges/s/chip",
@@ -68,7 +70,11 @@ def main(dim=200, num_entities=14541, num_relations=237, num_triples=272115):
         "step_ms": round(sec_per_step * 1e3, 2),
         "triples_per_s": round(job.batch_size / sec_per_step, 1),
         **rl,
-    }))
+    }
+
+
+def main(**kwargs):
+    print(json.dumps(measure(**kwargs)))
 
 
 if __name__ == "__main__":

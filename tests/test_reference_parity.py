@@ -484,6 +484,9 @@ def test_training_loss_parity(ref, dataset_folder, tmp_path, train_type,
         ("eval.type", "training_loss"),
         ("negative_sampling.num_samples.s", 4),
         ("negative_sampling.num_samples.o", 6),
+        # relation-slot corruptions ride score_so(p_subset=...) — the
+        # one scoring entry point no other parity case touches
+        ("negative_sampling.num_samples.p", 3),
     ]
     ref_cfg, ref_ds, ref_model = make_ref_model(
         ref, dataset_folder, tmp_path, "complex", {}, extra_config=extra

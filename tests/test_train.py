@@ -37,6 +37,25 @@ def test_one_epoch_runs(train_type):
     assert np.isfinite(trace["avg_cost"])
 
 
+def test_relation_slot_negatives():
+    """Corrupting the RELATION slot (num_samples.p, scored via
+    score_so(p_subset=...)) trains end-to-end, including positive
+    filtering on all three slots (reference example
+    toy-complex-train-sampling.yaml uses exactly this shape)."""
+    job = _make_job("negative_sampling", extra={
+        "negative_sampling.num_samples.s": 2,
+        "negative_sampling.num_samples.p": 2,
+        "negative_sampling.num_samples.o": 2,
+        "negative_sampling.filtering.s": True,
+        "negative_sampling.filtering.p": True,
+        "negative_sampling.filtering.o": True,
+        "train.loss": "margin_ranking",
+        "train.loss_arg": 2.0,
+    })
+    trace = job.run()
+    assert np.isfinite(trace["avg_loss"])
+
+
 @pytest.mark.parametrize("train_type", TRAIN_TYPES)
 def test_subbatch_invariance(train_type):
     """Forward-only loss must be identical with and without subbatching
