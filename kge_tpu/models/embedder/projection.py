@@ -86,3 +86,11 @@ class Tucker3RelationEmbedder(ProjectionEmbedder):
         super().__init__(
             config, dataset, configuration_key, vocab_size, init_for_load_only
         )
+        # schema-compat key the reference declares but never reads
+        # (kge/model/embedder/tucker3_relation_embedder.yaml vs .py)
+        normalize = self.get_option("normalize")
+        if normalize:
+            config.log(
+                f"WARNING: {configuration_key}.normalize={normalize!r} has "
+                "no effect (the reference ignores this key as well)"
+            )
