@@ -32,8 +32,10 @@ def initialize(rng: jax.Array, shape, name: str, args: Dict) -> jnp.ndarray:
         std = float(args.get("std", 1.0))
         return mean + std * jax.random.normal(rng, shape, dtype=jnp.float32)
     if name in ("uniform_", "uniform"):
-        a = float(args.get("a", 0.0))
         b = float(args.get("b", 1.0))
+        # reference quirk (kge/model/kge_model.py:77-79): a missing lower
+        # bound defaults to -b (symmetric), not torch's 0
+        a = float(args["a"]) if "a" in args else -b
         return jax.random.uniform(rng, shape, minval=a, maxval=b, dtype=jnp.float32)
     if name in ("xavier_normal_", "xavier_normal"):
         gain = float(args.get("gain", 1.0))
@@ -52,6 +54,27 @@ def initialize(rng: jax.Array, shape, name: str, args: Dict) -> jnp.ndarray:
         bound = gain * math.sqrt(3.0 / fan_in)
         return jax.random.uniform(
             rng, shape, minval=-bound, maxval=bound, dtype=jnp.float32
+        )
+    if name in ("kaiming_normal_", "kaiming_normal"):
+        a = float(args.get("a", 0.0))
+        fan_in, fan_out = _fans(shape)
+        fan = fan_out if args.get("mode", "fan_in") == "fan_out" else fan_in
+        gain = math.sqrt(2.0 / (1.0 + a * a))
+        std = gain / math.sqrt(fan)
+        return std * jax.random.normal(rng, shape, dtype=jnp.float32)
+    if name in ("trunc_normal_", "trunc_normal"):
+        mean = float(args.get("mean", 0.0))
+        std = float(args.get("std", 1.0))
+        a = float(args.get("a", -2.0))
+        b = float(args.get("b", 2.0))
+        lo, hi = (a - mean) / std, (b - mean) / std
+        return mean + std * jax.random.truncated_normal(
+            rng, lo, hi, shape, dtype=jnp.float32
+        )
+    if name in ("orthogonal_", "orthogonal"):
+        gain = float(args.get("gain", 1.0))
+        return gain * jax.nn.initializers.orthogonal()(
+            rng, shape, jnp.float32
         )
     if name in ("constant_", "constant"):
         return jnp.full(shape, float(args.get("val", 0.0)), dtype=jnp.float32)

@@ -146,3 +146,39 @@ def test_penalties_are_finite():
     assert len(terms) >= 2
     for name, value in terms:
         assert np.isfinite(float(value)), name
+
+
+def test_initializer_torch_parity():
+    """Config-named initializers must match torch.nn.init semantics
+    (reference dispatch: kge/model/kge_model.py:41-80) — moments and
+    bounds, since the PRNGs differ."""
+    import torch
+
+    from kge_tpu.models.init import initialize
+
+    rng = jax.random.PRNGKey(3)
+    shape = (400, 300)
+
+    def stats(name, args, tname=None, targs=None):
+        ours = np.asarray(initialize(rng, shape, name, args))
+        ref = torch.empty(shape)
+        getattr(torch.nn.init, tname or name)(ref, **(targs or args))
+        ref = ref.numpy()
+        assert abs(ours.mean() - ref.mean()) < 0.02, name
+        assert abs(ours.std() - ref.std()) / max(ref.std(), 1e-9) < 0.05, name
+        return ours, ref
+
+    stats("kaiming_normal_", {})
+    stats("kaiming_normal_", {"mode": "fan_out"})
+    stats("trunc_normal_", {"mean": 1.0, "std": 0.5, "a": 0.0, "b": 2.0})
+    ours, ref = stats("trunc_normal_", {})
+    assert ours.min() >= -2.0 and ours.max() <= 2.0  # torch defaults
+    ours, _ = stats("orthogonal_", {"gain": 2.0})
+    # rows orthogonal (shape[0] > shape[1]: columns orthonormal * gain)
+    gram = ours.T @ ours / 4.0
+    np.testing.assert_allclose(gram, np.eye(shape[1]), atol=1e-4)
+
+    # reference quirk: a missing lower bound for uniform_ defaults to -b
+    ours = np.asarray(initialize(rng, shape, "uniform_", {"b": 0.25}))
+    assert ours.min() < -0.2 and ours.min() >= -0.25
+    assert ours.max() <= 0.25
