@@ -44,9 +44,8 @@ class ManualSearchJob(SearchJob):
 
         if not run:
             for i, trial_config, _ in tasks:
-                import os
-
-                os.makedirs(trial_config.folder, exist_ok=True)
+                # creates the folder and persists the trial config.yaml
+                # (required for manually running trials when run=False)
                 trial_config.init_folder()
             self.config.log("manual_search.run is False; only created folders")
             return {}

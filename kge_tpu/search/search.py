@@ -163,7 +163,10 @@ def run_trial(payload: Dict[str, Any]) -> Dict[str, Any]:
         config.options = copy.deepcopy(payload["options"])
         config.folder = payload["folder"]
         config.set("job.device", payload["device"])
-        os.makedirs(config.folder, exist_ok=True)
+        # init_folder both creates the folder AND persists config.yaml
+        # (a pre-existing makedirs would suppress the save, leaving the
+        # trial folder without the config that `kge resume/test <trial>`
+        # needs); an existing folder = trial resume, config already there
         config.init_folder()
         config.log(
             f"Starting training job {index + 1} of {payload['count']}..."

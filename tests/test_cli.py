@@ -10,12 +10,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, **kw):
+def _run(args, timeout=300, **kw):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
         [sys.executable, "-m", "kge_tpu"] + args,
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=300, **kw
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
+        **kw
     )
 
 
@@ -166,3 +167,40 @@ def test_dump_trace_chain_drops_retrained_eval_entries(tmp_path, capsys):
     assert sorted(trains_a) == [1, 2, 3]
     assert sorted(evals_a) == [1, 2, 3], evals_a
     assert sorted(evals_b) == [4, 5]
+
+
+@pytest.mark.slow
+def test_search_protocol_via_cli(tmp_path):
+    """The reference's primary workflow end-to-end through the CLI
+    (SURVEY call stack 3.4): kge start <grid search> runs every trial,
+    then the best trial folder supports kge test and kge dump trace
+    aggregates the search folder."""
+    import glob
+
+    cfg = tmp_path / "search.yaml"
+    cfg.write_text(
+        "job.type: search\n"
+        "search.type: grid_search\n"
+        "dataset.name: toy\n"
+        "model: complex\n"
+        "job.device: cpu\n"
+        "lookup_embedder.dim: 8\n"
+        "train: {max_epochs: 1, batch_size: 64}\n"
+        "valid: {every: 1, metric: mean_reciprocal_rank_filtered}\n"
+        "grid_search.parameters:\n"
+        "  train.optimizer.default.args.lr: [0.1, 0.3]\n"
+    )
+    folder = str(tmp_path / "search-run")
+    r = _run(["start", str(cfg), "--folder", folder], timeout=900)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    trials = sorted(
+        os.path.dirname(p) for p in
+        glob.glob(os.path.join(folder, "*", "checkpoint_best.pt"))
+    )
+    assert len(trials) == 2, trials
+    r = _run(["test", trials[0], "--job.device", "cpu"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "mean_reciprocal_rank_filtered" in r.stdout
+    r = _run(["dump", "trace", folder, "--search"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert len(r.stdout.strip().splitlines()) >= 2
