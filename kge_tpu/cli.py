@@ -240,7 +240,13 @@ def main():
         for key, value in late_overrides.items():
             config.set(key, value, create=True)
         checkpoint_file = get_checkpoint_file(config, args.checkpoint)
-        checkpoint = load_checkpoint(checkpoint_file)
+        # no checkpoint on disk (e.g. a search folder: trials carry their
+        # own checkpoints) -> recreate the job fresh from the saved config
+        checkpoint = (
+            load_checkpoint(checkpoint_file)
+            if checkpoint_file is not None
+            else None
+        )
 
     try:
         if config.get("job.device") == "cpu":

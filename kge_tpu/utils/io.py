@@ -15,9 +15,14 @@ from typing import Any, Dict, Optional
 from kge_tpu.config import Config
 
 
-def get_checkpoint_file(config: Config, checkpoint_argument: str = "default") -> str:
+def get_checkpoint_file(config: Config, checkpoint_argument: str = "default"
+                        ) -> Optional[str]:
     """Resolve which checkpoint to use: 'best' for eval jobs if present,
-    else the last numbered one (reference: kge/util/io.py:7-33)."""
+    else the last numbered one (reference: kge/util/io.py:7-33). With
+    'default' and no checkpoint on disk, returns None — the caller
+    creates the job fresh from the saved config (how resuming a SEARCH
+    folder works: search folders hold no checkpoints of their own, the
+    job re-collects finished trials from the trial subfolders)."""
     if checkpoint_argument == "default":
         if config.get("job.type") in ["eval", "valid", "test"]:
             checkpoint_file = config.checkpoint_file("best")
@@ -26,7 +31,7 @@ def get_checkpoint_file(config: Config, checkpoint_argument: str = "default") ->
         epoch = config.last_checkpoint_number()
         if epoch is not None:
             return config.checkpoint_file(epoch)
-        raise FileNotFoundError(f"no checkpoint found in {config.folder}")
+        return None
     return config.checkpoint_file(checkpoint_argument)
 
 

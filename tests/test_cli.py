@@ -204,3 +204,13 @@ def test_search_protocol_via_cli(tmp_path):
     r = _run(["dump", "trace", folder, "--search"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert len(r.stdout.strip().splitlines()) >= 2
+    # resuming the SEARCH folder itself must work even though it holds no
+    # checkpoint of its own (reference kge/util/io.py:7-33 returns None ->
+    # job recreated from config; trials re-collected, not retrained)
+    mtime = os.path.getmtime(os.path.join(trials[0], "checkpoint_best.pt"))
+    r = _run(["resume", folder], timeout=900)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    assert "search_completed" in r.stdout
+    assert os.path.getmtime(
+        os.path.join(trials[0], "checkpoint_best.pt")
+    ) == mtime, "resume retrained an already-finished trial"
