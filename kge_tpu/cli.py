@@ -242,11 +242,13 @@ def main():
         checkpoint_file = get_checkpoint_file(config, args.checkpoint)
         # no checkpoint on disk (e.g. a search folder: trials carry their
         # own checkpoints) -> recreate the job fresh from the saved config
-        checkpoint = (
-            load_checkpoint(checkpoint_file)
-            if checkpoint_file is not None
-            else None
-        )
+        if checkpoint_file is not None:
+            checkpoint = load_checkpoint(checkpoint_file)
+        else:
+            config.log(
+                "No checkpoint found or specified, starting from scratch..."
+            )
+            checkpoint = None
 
     try:
         if config.get("job.device") == "cpu":

@@ -94,13 +94,15 @@ class ConvEScorer(RelationalScorer):
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         fan_in_conv = self.filter_size * self.filter_size
         params = {
-            # OIHW conv kernel
+            # OIHW conv kernel; a=sqrt(5) is torch's Conv2d/Linear
+            # reset_parameters value (NOT the kaiming_uniform_ default)
             "conv_w": initialize(
                 k1, (self.out_channels, 1, self.filter_size, self.filter_size),
-                "kaiming_uniform_", {},
+                "kaiming_uniform_", {"a": math.sqrt(5.0)},
             ),
             "proj_w": initialize(
-                k2, (self.emb_dim, self.flat), "kaiming_uniform_", {}
+                k2, (self.emb_dim, self.flat), "kaiming_uniform_",
+                {"a": math.sqrt(5.0)},
             ),
             "proj_b": initialize(
                 k3, (self.emb_dim,), "uniform_",

@@ -23,6 +23,25 @@ def _fans(shape):
     return shape[1] * receptive, shape[0] * receptive
 
 
+def _calculate_gain(nonlinearity: str, a: float) -> float:
+    """torch.nn.init.calculate_gain for the names kaiming accepts;
+    `a` (negative slope) only matters for leaky_relu."""
+    if nonlinearity in (
+        "linear", "identity", "sigmoid", "conv1d", "conv2d", "conv3d",
+        "conv_transpose1d", "conv_transpose2d", "conv_transpose3d",
+    ):
+        return 1.0
+    if nonlinearity == "tanh":
+        return 5.0 / 3.0
+    if nonlinearity == "relu":
+        return math.sqrt(2.0)
+    if nonlinearity == "leaky_relu":
+        return math.sqrt(2.0 / (1.0 + a * a))
+    if nonlinearity == "selu":
+        return 3.0 / 4.0
+    raise ValueError(f"unsupported nonlinearity {nonlinearity!r}")
+
+
 def initialize(rng: jax.Array, shape, name: str, args: Dict) -> jnp.ndarray:
     """Draw an initial tensor of ``shape`` using the named scheme."""
     args = dict(args or {})
@@ -48,18 +67,21 @@ def initialize(rng: jax.Array, shape, name: str, args: Dict) -> jnp.ndarray:
         a = gain * math.sqrt(6.0 / (fan_in + fan_out))
         return jax.random.uniform(rng, shape, minval=-a, maxval=a, dtype=jnp.float32)
     if name in ("kaiming_uniform_", "kaiming_uniform"):
-        a = float(args.get("a", math.sqrt(5.0)))
-        fan_in, _ = _fans(shape)
-        gain = math.sqrt(2.0 / (1.0 + a * a))
-        bound = gain * math.sqrt(3.0 / fan_in)
+        fan_in, fan_out = _fans(shape)
+        fan = fan_out if args.get("mode", "fan_in") == "fan_out" else fan_in
+        gain = _calculate_gain(
+            args.get("nonlinearity", "leaky_relu"), float(args.get("a", 0.0))
+        )
+        bound = gain * math.sqrt(3.0 / fan)
         return jax.random.uniform(
             rng, shape, minval=-bound, maxval=bound, dtype=jnp.float32
         )
     if name in ("kaiming_normal_", "kaiming_normal"):
-        a = float(args.get("a", 0.0))
         fan_in, fan_out = _fans(shape)
         fan = fan_out if args.get("mode", "fan_in") == "fan_out" else fan_in
-        gain = math.sqrt(2.0 / (1.0 + a * a))
+        gain = _calculate_gain(
+            args.get("nonlinearity", "leaky_relu"), float(args.get("a", 0.0))
+        )
         std = gain / math.sqrt(fan)
         return std * jax.random.normal(rng, shape, dtype=jnp.float32)
     if name in ("trunc_normal_", "trunc_normal"):

@@ -22,7 +22,8 @@ def get_checkpoint_file(config: Config, checkpoint_argument: str = "default"
     'default' and no checkpoint on disk, returns None — the caller
     creates the job fresh from the saved config (how resuming a SEARCH
     folder works: search folders hold no checkpoints of their own, the
-    job re-collects finished trials from the trial subfolders)."""
+    job re-collects finished trials from the trial subfolders). Eval
+    jobs still error: evaluating random init is never what was asked."""
     if checkpoint_argument == "default":
         if config.get("job.type") in ["eval", "valid", "test"]:
             checkpoint_file = config.checkpoint_file("best")
@@ -31,6 +32,8 @@ def get_checkpoint_file(config: Config, checkpoint_argument: str = "default"
         epoch = config.last_checkpoint_number()
         if epoch is not None:
             return config.checkpoint_file(epoch)
+        if config.get("job.type") in ["eval", "valid", "test"]:
+            raise FileNotFoundError(f"no checkpoint found in {config.folder}")
         return None
     return config.checkpoint_file(checkpoint_argument)
 

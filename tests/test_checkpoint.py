@@ -144,3 +144,25 @@ def test_unpackaged_checkpoint_missing_dataset_raises(tmp_path):
     shutil.rmtree(ds_copy)
     with pytest.raises(FileNotFoundError):
         Dataset.create_from(checkpoint)
+
+
+def test_get_checkpoint_file_default_semantics(tmp_path):
+    """'default' with nothing on disk: None for train/search jobs (job is
+    recreated from config — how search-folder resume works) but an error
+    for eval jobs, which must never score random init (reference
+    kge/util/io.py:7-33 raises via load on the eval branch)."""
+    from kge_tpu.utils.io import get_checkpoint_file
+
+    config = create_config("dataset_test", model="complex")
+    config.folder = str(tmp_path / "empty")
+    os.makedirs(config.folder)
+
+    config.set("job.type", "train")
+    assert get_checkpoint_file(config) is None
+    config.set("job.type", "search", create=True)
+    assert get_checkpoint_file(config) is None
+    config.set("job.type", "eval")
+    with pytest.raises(FileNotFoundError):
+        get_checkpoint_file(config)
+    # an explicit argument always resolves to the named file
+    assert get_checkpoint_file(config, "best").endswith("checkpoint_best.pt")

@@ -170,6 +170,14 @@ def test_initializer_torch_parity():
 
     stats("kaiming_normal_", {})
     stats("kaiming_normal_", {"mode": "fan_out"})
+    # torch honors nonlinearity/a; these change the gain (linear: 1.0,
+    # tanh: 5/3, leaky slope: sqrt(2/(1+a^2))) and must carry over
+    stats("kaiming_normal_", {"nonlinearity": "linear"})
+    stats("kaiming_normal_", {"nonlinearity": "tanh"})
+    stats("kaiming_normal_", {"nonlinearity": "leaky_relu", "a": 0.5})
+    stats("kaiming_uniform_", {})  # torch default a=0 -> gain sqrt(2)
+    stats("kaiming_uniform_", {"a": 2.2360679775})  # Linear-layer style
+    stats("kaiming_uniform_", {"mode": "fan_out", "nonlinearity": "relu"})
     stats("trunc_normal_", {"mean": 1.0, "std": 0.5, "a": 0.0, "b": 2.0})
     ours, ref = stats("trunc_normal_", {})
     assert ours.min() >= -2.0 and ours.max() <= 2.0  # torch defaults
