@@ -31,21 +31,85 @@ SLOTS = [S, P, O]
 
 
 class BatchNegativeSample:
-    """Fixed-shape negative sample for one slot of a batch."""
+    """Fixed-shape negative sample for one slot of a batch.
+
+    Shared samples are stored in factored form — ``unique`` candidates
+    plus (``num_unique``, ``repeat_indexes``, ``drop``) — and expand to
+    the per-row ``gather`` column map or the per-row candidate
+    multiplicity matrix (``counts``, what the fused loss kernel
+    consumes) only on demand: both expansions are O(B*num) and sit on
+    the host critical path between dispatches, so the one the step
+    doesn't use is never built."""
 
     def __init__(self, slot: int, num_samples: int,
                  negatives: Optional[np.ndarray] = None,
                  unique: Optional[np.ndarray] = None,
-                 gather: Optional[np.ndarray] = None):
+                 gather: Optional[np.ndarray] = None,
+                 num_unique: Optional[int] = None,
+                 repeat_indexes: Optional[np.ndarray] = None,
+                 drop: Optional[np.ndarray] = None,
+                 batch_size: Optional[int] = None):
         self.slot = slot
         self.num_samples = num_samples
         self._negatives = negatives
         self.unique = unique
-        self.gather = gather
+        self._gather = gather
+        self.num_unique = num_unique
+        self.repeat_indexes = repeat_indexes
+        self.drop = drop
+        self._batch_size = batch_size
 
     @property
     def shared(self) -> bool:
         return self.unique is not None
+
+    @property
+    def gather(self) -> Optional[np.ndarray]:
+        """[B, num] column map into ``unique`` (built lazily)."""
+        if self._gather is None and self.unique is not None:
+            nu = self.num_unique
+            if self.drop is None:  # naive: every row sees the same columns
+                cols = np.broadcast_to(
+                    np.arange(nu, dtype=np.int32), (self._batch_size, nu)
+                )
+            else:
+                # default: the dropped position is replaced by the extra
+                # candidate parked at position num_unique
+                cols = np.broadcast_to(
+                    np.arange(nu, dtype=np.int64), (len(self.drop), nu)
+                ).copy()
+                cols[cols == self.drop[:, None]] = nu
+                cols = cols.astype(np.int32)
+            if len(self.repeat_indexes):
+                cols = np.concatenate(
+                    [cols, cols[:, self.repeat_indexes]], axis=1
+                )
+            self._gather = cols
+        return self._gather
+
+    def counts(self) -> np.ndarray:
+        """[B, num+1] float32 multiplicity of each unique candidate in
+        each row's sample — the closed form of
+        ``bincount(row * U + gather)``: every row holds 1 + repeat
+        multiplicity per live column, with the dropped column zeroed and
+        its mass moved to the extra position."""
+        num, nu = self.num_samples, self.num_unique
+        base = np.zeros(num + 1, dtype=np.float32)
+        base[:nu] = 1.0
+        if len(self.repeat_indexes):
+            base[:nu] += np.bincount(
+                self.repeat_indexes, minlength=nu
+            ).astype(np.float32)
+        if self.drop is None:
+            return np.broadcast_to(base, (self._batch_size, num + 1))
+        B = len(self.drop)
+        counts = np.tile(base, (B, 1))
+        extra = np.where(
+            self.drop < nu, base[np.minimum(self.drop, nu - 1)], 0.0
+        ).astype(np.float32)
+        counts[np.arange(B), self.drop] = 0.0
+        counts[:, nu] = extra
+        return counts
 
     def materialize(self) -> np.ndarray:
         """[B, num] negative indexes (expands the shared representation)."""
@@ -208,7 +272,7 @@ class KgeUniformSampler(KgeSampler):
         else:
             num_unique = num_samples
         take = num_unique if self.shared_type == "naive" else num_unique + 1
-        unique = self._rng.choice(voc, size=take, replace=False).astype(np.int32)
+        unique = self._choice_without_replacement(voc, take)
         if num_unique != num_samples:
             repeat_indexes = self._rng.integers(
                 num_unique, size=num_samples - num_unique
@@ -216,11 +280,8 @@ class KgeUniformSampler(KgeSampler):
         else:
             repeat_indexes = np.zeros(0, dtype=np.int64)
 
-        if self.shared_type == "naive":
-            cols_base = np.broadcast_to(
-                np.arange(num_unique, dtype=np.int32), (batch_size, num_unique)
-            )
-        else:
+        drop = None
+        if self.shared_type != "naive":
             positives = positive_triples[:, slot]
             drop = self._rng.integers(num_unique + 1, size=batch_size)
             # rows whose positive is among the unique samples drop exactly it
@@ -236,29 +297,34 @@ class KgeUniformSampler(KgeSampler):
             drop = np.where(
                 hit, order[np.minimum(pos_in_unique, len(unique) - 1)], drop
             )
-            # row samples: positions 0..num_unique-1, with the dropped one
-            # replaced by the extra sample at position num_unique
-            cols_base = np.broadcast_to(
-                np.arange(num_unique, dtype=np.int64),
-                (batch_size, num_unique),
-            ).copy()
-            replace_mask = cols_base == drop[:, None]
-            cols_base[replace_mask] = num_unique
-            cols_base = cols_base.astype(np.int32)
-
-        if len(repeat_indexes):
-            cols_rep = cols_base[:, repeat_indexes]
-            gather = np.concatenate([cols_base, cols_rep], axis=1)
-        else:
-            gather = cols_base
         # pad unique to the static length num_samples+1
         padded = np.zeros(num_samples + 1, dtype=np.int32)
         padded[: len(unique)] = unique
         if 0 < len(unique) < num_samples + 1:
             padded[len(unique):] = unique[0]
         return BatchNegativeSample(
-            slot, num_samples, unique=padded, gather=gather
+            slot, num_samples, unique=padded, num_unique=num_unique,
+            repeat_indexes=repeat_indexes, drop=drop, batch_size=batch_size,
         )
+
+    def _choice_without_replacement(self, voc: int, take: int) -> np.ndarray:
+        """Uniform ordered sample without replacement. np.Generator.choice
+        builds an O(voc) partial permutation — at real vocabulary sizes
+        that dwarfs the sample itself — so for take << voc draw i.i.d.
+        and redraw collisions (first occurrences kept are exchangeable
+        uniform-distinct; identical distribution, O(take))."""
+        if take * 8 >= voc:
+            return self._rng.choice(
+                voc, size=take, replace=False
+            ).astype(np.int32)
+        out = self._rng.integers(voc, size=take)
+        while True:
+            uniq, first = np.unique(out, return_index=True)
+            if len(uniq) == take:
+                return out.astype(np.int32)
+            dup = np.ones(take, dtype=bool)
+            dup[first] = False
+            out[dup] = self._rng.integers(voc, size=int(dup.sum()))
 
 
 class KgeFrequencySampler(KgeSampler):

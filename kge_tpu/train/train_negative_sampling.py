@@ -362,20 +362,10 @@ class TrainingJobNegativeSampling(TrainingJob):
                     if slot in self._fused_slots:
                         # the fused kernel consumes candidate
                         # multiplicities, not gather positions — built
-                        # HERE because a device-side scatter-add would
-                        # serialize (TPU scatters are the slowest op in
-                        # the step by an order of magnitude)
-                        # vectorized bincount (np.add.at's unbuffered
-                        # fancy-index path is ~10x slower and this is on
-                        # the critical path between dispatches)
-                        B_, U_ = len(triples), len(ns.unique)
-                        flat = (
-                            np.arange(B_, dtype=np.int64)[:, None] * U_
-                            + ns.gather
-                        ).ravel()
-                        batch[f"neg_counts_{key}"] = np.bincount(
-                            flat, minlength=B_ * U_
-                        ).reshape(B_, U_).astype(np.float32)
+                        # host-side (a device scatter-add would
+                        # serialize) in closed form from the sampler's
+                        # factored (drop, repeats) representation
+                        batch[f"neg_counts_{key}"] = ns.counts()
                     else:
                         batch[f"neg_gather_{key}"] = ns.gather
                 else:

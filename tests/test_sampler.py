@@ -105,3 +105,58 @@ def test_filtering_batch_1024_is_fast():
     dt = time.perf_counter() - t0
     # generous CI bound; the old loop took ~100ms+ at this size
     assert dt < 0.25, f"filtering too slow: {dt * 1e3:.1f} ms"
+
+
+@pytest.mark.parametrize("shared_type", ["naive", "default"])
+@pytest.mark.parametrize("with_replacement", [True, False])
+def test_shared_counts_match_gather_bincount(shared_type, with_replacement):
+    """counts() (the fused kernel's input, built in closed form from the
+    factored drop/repeats representation) must equal the brute-force
+    per-row bincount of the expanded gather map."""
+    sampler, dataset = _sampler(**{
+        "negative_sampling.shared": True,
+        "negative_sampling.shared_type": shared_type,
+        "negative_sampling.with_replacement": with_replacement,
+        "negative_sampling.num_samples.o": 3,
+    })
+    sampler.seed(7)
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        B = int(rng.integers(1, 9))
+        triples = dataset.split("train")[
+            rng.integers(len(dataset.split("train")), size=B)
+        ].astype(np.int64)
+        ns = sampler.sample(triples, 2)
+        counts = np.asarray(ns.counts())
+        U = len(ns.unique)
+        gather = ns.gather
+        ref = np.zeros((B, U), dtype=np.float32)
+        for b in range(B):
+            for g in gather[b]:
+                ref[b, g] += 1.0
+        np.testing.assert_array_equal(counts, ref)
+        # each row contributes exactly num_samples draws
+        np.testing.assert_array_equal(counts.sum(axis=1), 3.0)
+        # materialize() stays consistent with the factored form
+        mat = ns.materialize()
+        assert mat.shape == (B, 3)
+        if shared_type == "default":
+            assert (mat != triples[:, 2][:, None]).all()
+
+
+def test_choice_without_replacement_uniform():
+    """The rejection-based WOR fast path must produce distinct in-range
+    draws with a uniform marginal (chi^2 sanity over many rounds)."""
+    sampler, _ = _sampler(**{"negative_sampling.shared": True})
+    sampler.seed(123)
+    voc, take = 500, 20
+    hits = np.zeros(voc)
+    for _ in range(400):
+        out = sampler._choice_without_replacement(voc, take)
+        assert len(np.unique(out)) == take
+        assert out.min() >= 0 and out.max() < voc
+        hits[out] += 1
+    expected = 400 * take / voc
+    chi2 = ((hits - expected) ** 2 / expected).sum()
+    # dof=499; mean 499, std ~32 -> 5 sigma ~ 660
+    assert chi2 < 700, chi2
