@@ -117,10 +117,13 @@ class KvsAllIndex:
         rows = np.repeat(np.arange(len(pairs), dtype=np.int64), counts)
         if total == 0:
             return rows, np.zeros(0, dtype=np.int32)
-        # gather contiguous ranges: build flat value indexes
-        flat = np.concatenate(
-            [self.values[s:e] for s, e in zip(starts, ends) if e > s]
+        # gather the contiguous ranges in one shot: element j of row i
+        # lives at starts[i] + j (a per-batch python loop over slices
+        # was the hottest line of the KvsAll collate)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
         )
+        flat = self.values[np.repeat(starts, counts) + within]
         return rows, flat
 
     def counts_for(self, pairs: np.ndarray) -> np.ndarray:

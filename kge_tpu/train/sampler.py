@@ -87,12 +87,12 @@ class BatchNegativeSample:
             self._gather = cols
         return self._gather
 
-    def counts(self) -> np.ndarray:
-        """[B, num+1] float32 multiplicity of each unique candidate in
-        each row's sample — the closed form of
-        ``bincount(row * U + gather)``: every row holds 1 + repeat
-        multiplicity per live column, with the dropped column zeroed and
-        its mass moved to the extra position."""
+    def count_factors(self):
+        """Factored candidate multiplicities: the [num+1] float32 base
+        vector (1 + repeat multiplicity per live column, zero at the
+        extra/padding positions) and the per-row dropped position (None
+        for naive sharing). ``counts()`` expands them; the train step
+        ships the factors and expands on device instead."""
         num, nu = self.num_samples, self.num_unique
         base = np.zeros(num + 1, dtype=np.float32)
         base[:nu] = 1.0
@@ -100,14 +100,24 @@ class BatchNegativeSample:
             base[:nu] += np.bincount(
                 self.repeat_indexes, minlength=nu
             ).astype(np.float32)
-        if self.drop is None:
+        return base, self.drop
+
+    def counts(self) -> np.ndarray:
+        """[B, num+1] float32 multiplicity of each unique candidate in
+        each row's sample — the closed form of
+        ``bincount(row * U + gather)``: every row holds 1 + repeat
+        multiplicity per live column, with the dropped column zeroed and
+        its mass moved to the extra position."""
+        num, nu = self.num_samples, self.num_unique
+        base, drop = self.count_factors()
+        if drop is None:
             return np.broadcast_to(base, (self._batch_size, num + 1))
-        B = len(self.drop)
+        B = len(drop)
         counts = np.tile(base, (B, 1))
         extra = np.where(
-            self.drop < nu, base[np.minimum(self.drop, nu - 1)], 0.0
+            drop < nu, base[np.minimum(drop, nu - 1)], 0.0
         ).astype(np.float32)
-        counts[np.arange(B), self.drop] = 0.0
+        counts[np.arange(B), drop] = 0.0
         counts[:, nu] = extra
         return counts
 

@@ -104,14 +104,16 @@ class TrainingJobKvsAll(TrainingJob):
         for qt, idx, weights, true in batches:
             index = self.indexes[qt]
             queries = self.queries[qt][idx]
-            counts = index.counts_for(queries)
             rows, values = index.get_all_coords(queries)
+            counts = np.bincount(rows, minlength=len(queries))
             L = _bucket(int(counts.max()) if len(counts) else 1)
             pad_value = self._num_candidates(qt)  # out-of-bounds -> dropped
             coords = np.full((self.batch_size, L), pad_value, dtype=np.int32)
-            # place each query's answers into its row
-            col = np.concatenate(
-                [np.arange(c) for c in counts]
+            # place each query's answers into its row (rows are sorted,
+            # so position-within-row has a cumsum closed form)
+            col = (
+                np.arange(len(values), dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts)
             ) if len(values) else np.zeros(0, dtype=np.int64)
             coords[rows, col] = values
             # padding rows: weight 0 already ensures no loss contribution,

@@ -361,11 +361,16 @@ class TrainingJobNegativeSampling(TrainingJob):
                     batch[f"neg_unique_{key}"] = ns.unique
                     if slot in self._fused_slots:
                         # the fused kernel consumes candidate
-                        # multiplicities, not gather positions — built
-                        # host-side (a device scatter-add would
-                        # serialize) in closed form from the sampler's
-                        # factored (drop, repeats) representation
-                        batch[f"neg_counts_{key}"] = ns.counts()
+                        # multiplicities; ship only their FACTORS (the
+                        # [num+1] base vector and the per-row dropped
+                        # position) and expand on device with vector
+                        # ops — the [B, num+1] matrix would dominate
+                        # the per-batch host->device payload
+                        base, drop = ns.count_factors()
+                        batch[f"neg_base_{key}"] = base
+                        batch[f"neg_nu_{key}"] = np.int32(ns.num_unique)
+                        if drop is not None:
+                            batch[f"neg_drop_{key}"] = drop.astype(np.int32)
                     else:
                         batch[f"neg_gather_{key}"] = ns.gather
                 else:
@@ -495,8 +500,25 @@ class TrainingJobNegativeSampling(TrainingJob):
             # multiplicity of each unique candidate in the row's sample:
             # the count form selects exactly the multiset the reference's
             # per-row gather selects (with-replacement draws + drop
-            # trick); built host-side in _generate_batches
-            counts = batch[f"neg_counts_{key}"][sl]    # [rows, num+1]
+            # trick); expanded here from the shipped factors (base
+            # multiplicities + per-row dropped position) — fused into
+            # the surrounding ops by XLA, no scatter
+            num1 = batch[f"neg_base_{key}"].shape[-1]
+            base = batch[f"neg_base_{key}"]            # [num+1]
+            nu = batch[f"neg_nu_{key}"]                # scalar int32
+            rows = triples.shape[0]
+            if f"neg_drop_{key}" in batch:
+                drop = batch[f"neg_drop_{key}"][sl]    # [rows]
+                cols = jnp.arange(num1, dtype=jnp.int32)
+                extra = jnp.where(
+                    drop < nu, jnp.take(base, drop, mode="clip"), 0.0
+                )
+                counts = base[None, :] * (cols[None, :] != drop[:, None])
+                counts = jnp.where(
+                    cols[None, :] == nu, extra[:, None], counts
+                )
+            else:  # naive sharing: every row sees the same multiset
+                counts = jnp.broadcast_to(base, (rows, num1))
             if slot == O:
                 q = q_sp
                 cand, _ = self.model.dot_candidates(
@@ -591,7 +613,7 @@ class TrainingJobNegativeSampling(TrainingJob):
         total = 0.0
         fused = tuple(
             s for s in getattr(self, "_fused_slots", ())
-            if f"neg_counts_{SLOT_STR[s]}" in batch
+            if f"neg_base_{SLOT_STR[s]}" in batch
         )
         if fused:
             total = total + self._fused_loss(

@@ -160,12 +160,26 @@ def test_fused_negsamp_loss_matches_unfused_step():
     job_u = make("never")
     assert job_f._fused_slots == (0, 2)
     assert job_u._fused_slots == ()
-    # the fused job's batch carries counts; rebuild an equivalent gather
+    # the fused job's batch carries count FACTORS; expand them (same
+    # closed form the device uses) and rebuild an equivalent gather
     # layout for the unfused job (the loss is over the multiset, so any
     # gather consistent with the multiplicities must give the same value)
     batch = next(iter(job_f._generate_batches(1)))
+
+    def expand_counts(key):
+        base = np.asarray(batch[f"neg_base_{key}"])
+        nu = int(batch[f"neg_nu_{key}"])
+        B = batch["triples"].shape[0]
+        counts = np.tile(base, (B, 1))
+        if f"neg_drop_{key}" in batch:
+            drop = np.asarray(batch[f"neg_drop_{key}"])
+            extra = np.where(drop < nu, base[np.minimum(drop, nu - 1)], 0.0)
+            counts[np.arange(B), drop] = 0.0
+            counts[:, nu] = extra
+        return counts
+
     for key in ("s", "o"):
-        counts = np.asarray(batch[f"neg_counts_{key}"]).astype(int)
+        counts = expand_counts(key).astype(int)
         assert counts.sum() > 0, "fused path not exercised"
         gather = np.stack([
             np.repeat(np.arange(counts.shape[1]), row) for row in counts
