@@ -169,6 +169,21 @@ def main():
     except Exception as e:
         print(f"bench: W5M section skipped: {e!r}", file=sys.stderr)
 
+    # end-to-end epoch loop at FB15k-237 scale (host collate + transfer
+    # + grouped dispatch + compiled steps): the number a user's wall
+    # clock sees, where host-side batch prep can hide the device's
+    # speed. Same guard.
+    try:
+        from bench_epoch import measure as measure_epoch
+
+        ep = measure_epoch(group=4)
+        extras.update({
+            "e2e_epoch_triples_per_s": ep["value"],
+            "e2e_ms_per_batch": ep["ms_per_batch"],
+        })
+    except Exception as e:
+        print(f"bench: epoch section skipped: {e!r}", file=sys.stderr)
+
     # regime 3: CompGCN full-graph message passing (the GNN headline,
     # bandwidth-bound segment ops), same guard.
     try:

@@ -16,7 +16,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main(group=4):
+def measure(group=4):
+    """(triples/s, ms/batch) of the real epoch loop; used by bench.py."""
     from bench import build_synthetic_dataset
     from kge_tpu import Config
     from kge_tpu.train.train import TrainingJob
@@ -51,13 +52,17 @@ def main(group=4):
         times.append(time.perf_counter() - t0)
     n = trace["batches"]
     best = min(times)
-    print(json.dumps({
+    return {
         "metric": "epoch_triples_per_s_complex_negsamp_fb15k237_scale",
         "value": round(n * job.batch_size / best, 1),
         "unit": "triples/s/chip (end-to-end epoch)",
         "ms_per_batch": round(best / n * 1e3, 2),
         "steps_per_dispatch": group,
-    }))
+    }
+
+
+def main(group=4):
+    print(json.dumps(measure(group)))
 
 
 if __name__ == "__main__":
