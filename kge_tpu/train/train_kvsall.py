@@ -101,6 +101,9 @@ class TrainingJobKvsAll(TrainingJob):
             for idx, weights, true in self._pad_batch_indexes(order):
                 batches.append((qt, idx, weights, true))
         self._np_rng.shuffle(batches)
+        group = self._steps_per_dispatch()
+        if group > 1:
+            batches = self._regroup_for_dispatch(batches, group)
         for qt, idx, weights, true in batches:
             index = self.indexes[qt]
             queries = self.queries[qt][idx]
@@ -126,6 +129,27 @@ class TrainingJobKvsAll(TrainingJob):
                 "size": np.float32(true),
                 QTYPE_KEYS[qt]: np.zeros(0, dtype=np.int32),
             }
+
+    def _regroup_for_dispatch(self, batches, group):
+        """Reorder batches into runs of ``group`` with identical compiled
+        structure — same query type AND same label-bucket width — so
+        tpu.steps_per_dispatch grouping engages for KvsAll (the epoch
+        driver only stacks structurally identical consecutive batches).
+        The multiset of batches is unchanged; only their order is (any
+        order of a shuffled epoch is an equally valid shuffle). The
+        bucket width is predicted from label counts alone (one CSR
+        counts pass; the coords build later recomputes the same value)."""
+        keyed: Dict[tuple, List] = {}
+        for qt, idx, weights, true in batches:
+            counts = self.indexes[qt].counts_for(self.queries[qt][idx])
+            L = _bucket(int(counts.max()) if len(counts) else 1)
+            keyed.setdefault((qt, L), []).append((qt, idx, weights, true))
+        runs = []
+        for members in keyed.values():
+            for i in range(0, len(members), group):
+                runs.append(members[i:i + group])
+        self._np_rng.shuffle(runs)
+        return [b for run in runs for b in run]
 
     def _subbatch_loss(self, params, ctx: Ctx, batch, sl):
         queries = batch["queries"][sl]

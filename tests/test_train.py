@@ -311,3 +311,44 @@ def test_bfloat16_compute_dtype_end_to_end():
     # bf16 has ~3 decimal digits; trajectories should stay close
     assert abs(losses["bfloat16"] - losses["float32"]) \
         / abs(losses["float32"]) < 0.05, losses
+
+
+def test_steps_per_dispatch_groups_kvsall():
+    """KvsAll batches regroup into same-structure runs so grouped
+    dispatch engages (query type and label-bucket width must match for
+    batches to stack). The batch multiset is unchanged — only order."""
+    import numpy as np
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+    from tests.util import create_config
+
+    def run(group):
+        config = create_config("toy", model="complex")
+        config.set("console.quiet", True)
+        config.set("lookup_embedder.dim", 16)
+        config.set("train.type", "KvsAll")
+        config.set("train.batch_size", 32)
+        config.set("train.max_epochs", 1)
+        config.set("train.optimizer.default.args.lr", 0.1, create=True)
+        config.set("random_seed.default", 7)
+        config.set("valid.every", 0)
+        config.set("tpu.steps_per_dispatch", group)
+        dataset = Dataset.create(config)
+        return TrainingJob.create(config, dataset)
+
+    def epoch_trace(group):
+        job = run(group)
+        job._prepare()
+        job._is_prepared = True
+        job.epoch = 1
+        return job, job.run_epoch()
+
+    ja, ta = epoch_trace(1)
+    jb, tb = epoch_trace(4)
+    # grouped steps actually compiled and ran
+    assert 4 in jb._group_steps, "no grouped dispatch engaged for KvsAll"
+    assert not ja._group_steps
+    # same number of batches and examples processed
+    assert ta["batches"] == tb["batches"]
+    assert ta["size"] == tb["size"]
+    assert np.isfinite(tb["avg_loss"])
