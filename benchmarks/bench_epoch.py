@@ -3,9 +3,11 @@ collate + host->device transfer + grouped dispatch + compiled steps),
 not just the compiled step. Captures what tpu.steps_per_dispatch and
 the prefetch thread buy.
 
-Measured on v5e (ComplEx NegSamp, FB15k-237 scale): ~12.5 ms/batch at
-steps_per_dispatch 4 vs ~20.5 at 1 (device step is 0.85 ms; the rest is
-dispatch + marshaling).
+History on v5e (ComplEx NegSamp, FB15k-237 scale, steps_per_dispatch 4):
+~12.5 ms/batch before the round-3 factored-sampler rework (host collate
+was 6.2 ms/batch of that); collate now measures 0.8 ms/batch on the
+same shape, so the current bottleneck is dispatch + marshaling over the
+tunnel (device step is ~0.8 ms).
 """
 
 import json

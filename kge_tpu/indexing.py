@@ -101,12 +101,15 @@ class KvsAllIndex:
             return self._default
         return self.values[self.offsets[pos] : self.offsets[pos + 1]]
 
-    def get_all_coords(self, pairs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def get_all_coords(self, pairs: np.ndarray, return_counts: bool = False):
         """Batched lookup returning COO coordinates.
 
         For a [B, 2] array of key pairs, returns (rows, values): for every
         answer of pair i, one entry with rows==i. Vectorized equivalent of
         the reference's numba ``get_all`` (kge/indexing.py:111-168).
+        With ``return_counts``, also returns the [B] per-pair answer
+        counts (computed internally anyway; saves callers a second
+        key-position pass).
         """
         pos = self._positions(pairs)
         present = pos >= 0
@@ -116,14 +119,17 @@ class KvsAllIndex:
         total = int(counts.sum())
         rows = np.repeat(np.arange(len(pairs), dtype=np.int64), counts)
         if total == 0:
-            return rows, np.zeros(0, dtype=np.int32)
-        # gather the contiguous ranges in one shot: element j of row i
-        # lives at starts[i] + j (a per-batch python loop over slices
-        # was the hottest line of the KvsAll collate)
-        within = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(counts) - counts, counts
-        )
-        flat = self.values[np.repeat(starts, counts) + within]
+            flat = np.zeros(0, dtype=np.int32)
+        else:
+            # gather the contiguous ranges in one shot: element j of row
+            # i lives at starts[i] + j (a per-batch python loop over
+            # slices was the hottest line of the KvsAll collate)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            flat = self.values[np.repeat(starts, counts) + within]
+        if return_counts:
+            return rows, flat, counts
         return rows, flat
 
     def counts_for(self, pairs: np.ndarray) -> np.ndarray:

@@ -107,7 +107,11 @@ class BatchNegativeSample:
         each row's sample — the closed form of
         ``bincount(row * U + gather)``: every row holds 1 + repeat
         multiplicity per live column, with the dropped column zeroed and
-        its mass moved to the extra position."""
+        its mass moved to the extra position. KEEP IN LOCKSTEP with the
+        device-side expansion (train_negative_sampling._fused_loss) and
+        the test referee (tests/test_pallas.py expand_counts); the
+        sampler test pins this form against gather, the fused-loss test
+        pins the device form against gather."""
         num, nu = self.num_samples, self.num_unique
         base, drop = self.count_factors()
         if drop is None:

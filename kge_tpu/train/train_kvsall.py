@@ -99,17 +99,19 @@ class TrainingJobKvsAll(TrainingJob):
         for qt in self.query_types:
             order = self._np_rng.permutation(len(self.queries[qt]))
             for idx, weights, true in self._pad_batch_indexes(order):
-                batches.append((qt, idx, weights, true))
+                batches.append((qt, idx, weights, true, None))
         self._np_rng.shuffle(batches)
         group = self._steps_per_dispatch()
         if group > 1:
             batches = self._regroup_for_dispatch(batches, group)
-        for qt, idx, weights, true in batches:
+        for qt, idx, weights, true, L in batches:
             index = self.indexes[qt]
             queries = self.queries[qt][idx]
-            rows, values = index.get_all_coords(queries)
-            counts = np.bincount(rows, minlength=len(queries))
-            L = _bucket(int(counts.max()) if len(counts) else 1)
+            rows, values, counts = index.get_all_coords(
+                queries, return_counts=True
+            )
+            if L is None:
+                L = _bucket(int(counts.max()) if len(counts) else 1)
             pad_value = self._num_candidates(qt)  # out-of-bounds -> dropped
             coords = np.full((self.batch_size, L), pad_value, dtype=np.int32)
             # place each query's answers into its row (rows are sorted,
@@ -135,15 +137,17 @@ class TrainingJobKvsAll(TrainingJob):
         structure — same query type AND same label-bucket width — so
         tpu.steps_per_dispatch grouping engages for KvsAll (the epoch
         driver only stacks structurally identical consecutive batches).
-        The multiset of batches is unchanged; only their order is (any
-        order of a shuffled epoch is an equally valid shuffle). The
-        bucket width is predicted from label counts alone (one CSR
-        counts pass; the coords build later recomputes the same value)."""
+        The multiset of batches is unchanged, but the order is
+        STRATIFIED by (type, bucket), not a uniform shuffle: up to
+        ``group``-1 consecutive batches share a structure. Runs are
+        shuffled against each other, so structures still interleave at
+        run granularity. The bucket width computed here rides along in
+        the batch tuple (the coords build would derive the same value)."""
         keyed: Dict[tuple, List] = {}
-        for qt, idx, weights, true in batches:
+        for qt, idx, weights, true, _ in batches:
             counts = self.indexes[qt].counts_for(self.queries[qt][idx])
             L = _bucket(int(counts.max()) if len(counts) else 1)
-            keyed.setdefault((qt, L), []).append((qt, idx, weights, true))
+            keyed.setdefault((qt, L), []).append((qt, idx, weights, true, L))
         runs = []
         for members in keyed.values():
             for i in range(0, len(members), group):

@@ -502,7 +502,8 @@ class TrainingJobNegativeSampling(TrainingJob):
             # per-row gather selects (with-replacement draws + drop
             # trick); expanded here from the shipped factors (base
             # multiplicities + per-row dropped position) — fused into
-            # the surrounding ops by XLA, no scatter
+            # the surrounding ops by XLA, no scatter. KEEP IN LOCKSTEP
+            # with BatchNegativeSample.counts() (the numpy form)
             num1 = batch[f"neg_base_{key}"].shape[-1]
             base = batch[f"neg_base_{key}"]            # [num+1]
             nu = batch[f"neg_nu_{key}"]                # scalar int32
