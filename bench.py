@@ -184,6 +184,16 @@ def main():
     except Exception as e:
         print(f"bench: epoch section skipped: {e!r}", file=sys.stderr)
 
+    # fused entity-ranking eval throughput (the other half of a user's
+    # wall clock: validation every k epochs). Same guard.
+    try:
+        from bench_eval import run as run_eval
+
+        eval_qps, eval_mrr = run_eval("fused")
+        extras.update({"eval_queries_per_s": round(eval_qps, 1)})
+    except Exception as e:
+        print(f"bench: eval section skipped: {e!r}", file=sys.stderr)
+
     # regime 3: CompGCN full-graph message passing (the GNN headline,
     # bandwidth-bound segment ops), same guard.
     try:
