@@ -28,10 +28,16 @@ _INITIALIZED = False
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None):
+                     process_id: Optional[int] = None,
+                     strict: bool = False):
     """Initialize jax.distributed from args or the standard env vars
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or
-    TPU pod metadata when available). Idempotent per process."""
+    TPU pod metadata when available). Idempotent per process.
+
+    ``strict`` (set when ``tpu.multihost.enabled: on`` was explicit):
+    a failed bootstrap raises instead of silently degrading to N
+    independent single-process runs that would all think they are
+    primary and race on the shared folder."""
     global _INITIALIZED
     if _INITIALIZED:
         return
@@ -40,20 +46,38 @@ def init_distributed(coordinator_address: Optional[str] = None,
     )
     if coordinator_address is None and num_processes is None:
         # TPU pod auto-bootstrap (slice metadata carries the coordinator);
-        # on failure this is a plain single-process run
+        # on failure this is a plain single-process run unless multihost
+        # was explicitly requested
         try:
             jax.distributed.initialize()
             _INITIALIZED = True
-        except Exception:
-            pass
+        except Exception as e:
+            if strict:
+                raise RuntimeError(
+                    "tpu.multihost.enabled is on but jax.distributed "
+                    "auto-bootstrap failed (no coordinator_address/"
+                    f"num_processes configured either): {e!r}"
+                ) from e
         return
+    num_processes = num_processes or int(
+        os.environ.get("JAX_NUM_PROCESSES", 1)
+    )
+    if process_id is None:
+        if "JAX_PROCESS_ID" in os.environ:
+            process_id = int(os.environ["JAX_PROCESS_ID"])
+        elif num_processes > 1:
+            # a silent 0 default would register EVERY host as process 0
+            # (duplicate ids hang or confuse the coordinator)
+            raise ValueError(
+                "multi-host run needs a distinct process id per host: set "
+                "tpu.multihost.process_id or JAX_PROCESS_ID"
+            )
+        else:
+            process_id = 0
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes
-        or int(os.environ.get("JAX_NUM_PROCESSES", 1)),
-        process_id=process_id if process_id is not None else int(
-            os.environ.get("JAX_PROCESS_ID", 0)
-        ),
+        num_processes=num_processes,
+        process_id=process_id,
     )
     _INITIALIZED = True
 
@@ -81,7 +105,8 @@ def maybe_init_from_config(config: Config):
     env_nproc = os.environ.get("JAX_NUM_PROCESSES")
     if mode in ("on", "true", "1"):
         init_distributed(
-            addr, nproc if nproc > 0 else None, pid if pid >= 0 else None
+            addr, nproc if nproc > 0 else None, pid if pid >= 0 else None,
+            strict=True,
         )
     elif addr or nproc > 0 or env_addr or env_nproc:
         init_distributed(
@@ -93,6 +118,18 @@ def is_primary() -> bool:
     """True on the process that owns host-side side effects (checkpoint
     files, trace copy-back). Always True single-process."""
     return jax.process_index() == 0
+
+
+def broadcast_int(value: int) -> int:
+    """The primary process's value, on every process. Host-level
+    agreement for draws that MUST match across hosts (unseeded RNG
+    seeds: per-process divergence would stitch inconsistent shards
+    through put_global). No-op single-process."""
+    if jax.process_count() <= 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+
+    return int(multihost_utils.broadcast_one_to_all(np.int64(value)))
 
 
 def build_hybrid_mesh(config: Config, devices=None):
@@ -173,19 +210,46 @@ def barrier(name: str):
         multihost_utils.sync_global_devices(name)
 
 
+@functools.lru_cache(maxsize=64)
+def _stack_replicator(sharding, n):
+    """One cached jitted stack+replicate per (target sharding, chunk
+    size): gathers a whole chunk of same-shaped leaves in ONE collective
+    dispatch instead of one per leaf."""
+    import jax.numpy as jnp
+
+    return jax.jit(lambda xs: jnp.stack(xs), out_shardings=sharding)
+
+
 def fetch_global(tree):
     """jax.device_get that also works for arrays sharded across
-    processes: non-addressable shards are first replicated with an
-    identity jit (an all-gather over DCN), then pulled. Collective —
+    processes: non-addressable shards are first replicated (an
+    all-gather over DCN), then pulled. Same-shaped leaves batch into
+    chunked stack dispatches — an epoch's per-batch scalar metrics would
+    otherwise pay thousands of individual DCN collectives. Collective —
     every process must call it at the same point."""
     if jax.process_count() == 1:
         return jax.device_get(tree)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def one(x):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    groups: dict = {}
+    for i, x in enumerate(leaves):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            x = _replicator(NamedSharding(x.sharding.mesh, P()))(x)
-        return x
-
-    tree = jax.tree_util.tree_map(one, tree)
-    return jax.device_get(tree)
+            key = (x.sharding.mesh, x.shape, str(x.dtype))
+            groups.setdefault(key, []).append(i)
+    CHUNK = 256  # bounds program arity (compile cost) per dispatch
+    for (mesh, _, _), members in groups.items():
+        target = NamedSharding(mesh, P())
+        for c in range(0, len(members), CHUNK):
+            chunk = members[c:c + CHUNK]
+            if len(chunk) == 1:
+                host = jax.device_get(_replicator(target)(leaves[chunk[0]]))
+                leaves[chunk[0]] = host
+                continue
+            stacked = _stack_replicator(target, len(chunk))(
+                tuple(leaves[i] for i in chunk)
+            )
+            host = jax.device_get(stacked)  # one fetch for the chunk
+            for j, i in enumerate(chunk):
+                leaves[i] = host[j]
+    return jax.device_get(jax.tree_util.tree_unflatten(treedef, leaves))

@@ -53,26 +53,48 @@ def _prefetch(gen, depth: int):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
     errors = []
+
+    def put(item) -> bool:
+        """Bounded put that aborts when the consumer is gone (an
+        abandoned mid-epoch generator — hook exception, Ctrl-C — must
+        not leave this thread blocked forever holding pinned batches)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as e:  # re-raised on the consumer side
             errors.append(e)
         finally:
-            q.put(sentinel)
+            put(sentinel)
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if errors:
-                raise errors[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if errors:
+                    raise errors[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:  # unblock a producer mid-put and drop its pinned batches
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 class TrainingJob(TrainingOrEvaluationJob):
@@ -135,6 +157,12 @@ class TrainingJob(TrainingOrEvaluationJob):
         seed = rng_seed_from_config(config, "jax")
         if seed < 0:
             seed = int.from_bytes(os.urandom(4), "little")
+            if jax.process_count() > 1:
+                # every process must agree or put_global stitches shards
+                # of DIFFERENT initializations into one "global" array
+                from kge_tpu.parallel.distributed import broadcast_int
+
+                seed = broadcast_int(seed)
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_rng = jax.random.split(self.rng)
         with jax.default_device(self.device):
@@ -191,6 +219,11 @@ class TrainingJob(TrainingOrEvaluationJob):
             self.opt_state = self.optimizer.init(self.params)
         self.lr_scheduler = KgeLRScheduler(config)
         np_seed = rng_seed_from_config(config, "numpy")
+        if np_seed < 0 and jax.process_count() > 1:
+            # same agreement requirement for batch order / negatives
+            from kge_tpu.parallel.distributed import broadcast_int
+
+            np_seed = broadcast_int(int.from_bytes(os.urandom(4), "little"))
         self._np_rng = np.random.default_rng(np_seed if np_seed >= 0 else None)
 
         self._train_step = None  # compiled lazily per strategy
@@ -399,15 +432,14 @@ class TrainingJob(TrainingOrEvaluationJob):
                 self.config.log("Maximum number of epochs reached.")
                 break
             if len(self.valid_trace) > 0 and patience > 0:
-                recent = self.valid_trace[-patience:]
-                best_overall = Metric(self).best(
-                    [t[metric_name] for t in self.valid_trace]
-                )
-                best_recent = Metric(self).best(
-                    [t[metric_name] for t in recent]
-                )
-                if (len(self.valid_trace) > patience
-                        and Metric(self).better(best_overall, best_recent)):
+                values = [t[metric_name] for t in self.valid_trace]
+                # the reference stops when the best value FIRST occurred
+                # more than `patience` validations ago (kge/job/train.py
+                # best_index semantics) — a plateau of exact ties counts
+                # as no improvement, not as fresh bests
+                best_idx = Metric(self).best_index(values)
+                if (len(values) > patience
+                        and best_idx < len(values) - patience):
                     self.config.log(
                         f"Stopping early ({patience} validations without "
                         "improvement)."
@@ -708,19 +740,52 @@ class TrainingJob(TrainingOrEvaluationJob):
     def _load(self, checkpoint: Dict[str, Any]):
         if checkpoint["type"] != "train":
             raise ValueError("training can only be continued from trained models")
+
+        def reshard(old, new):
+            # resume must re-apply the sharding __init__ set up — a plain
+            # jnp.asarray would silently replace vocab-sharded tables
+            # with replicated copies (OOM at scale, and non-global arrays
+            # break multi-host jit)
+            arr = np.asarray(new)
+            if (self.mesh is not None and hasattr(old, "sharding")
+                    and len(old.sharding.device_set) > 1):
+                from kge_tpu.parallel.distributed import put_global
+
+                return put_global(arr, old.sharding)
+            # single-device shardings (jit(init) emits them for small
+            # leaves under multi-process) stay plain asarray: pinning
+            # them committed would make the train step reject the mix
+            return jnp.asarray(arr)
+
         with jax.default_device(self.device):
             self.params = jax.tree_util.tree_map(
-                jnp.asarray, checkpoint["model"]["params"]
+                reshard, self.params, checkpoint["model"]["params"]
             )
-            self.model_state = jax.tree_util.tree_map(
-                jnp.asarray, checkpoint["model"].get("state", {})
-            )
+            state_np = checkpoint["model"].get("state", {})
+            if (jax.tree_util.tree_structure(self.model_state)
+                    == jax.tree_util.tree_structure(state_np)):
+                self.model_state = jax.tree_util.tree_map(
+                    reshard, self.model_state, state_np
+                )
+            else:  # structure changed across versions: best effort
+                self.model_state = jax.tree_util.tree_map(
+                    jnp.asarray, state_np
+                )
             if checkpoint.get("opt_state") is not None and not self.is_forward_only:
+                old_leaves = jax.tree_util.tree_leaves(self.opt_state)
+                new_leaves = jax.tree_util.tree_leaves(
+                    checkpoint["opt_state"]
+                )
+                if len(old_leaves) != len(new_leaves):
+                    raise ValueError(
+                        "optimizer state in checkpoint has "
+                        f"{len(new_leaves)} leaves, expected "
+                        f"{len(old_leaves)} (optimizer config changed?)"
+                    )
                 self.opt_state = jax.tree_util.tree_unflatten(
                     jax.tree_util.tree_structure(self.opt_state),
-                    [jnp.asarray(x) for x in jax.tree_util.tree_leaves(
-                        checkpoint["opt_state"]
-                    )],
+                    [reshard(o, n)
+                     for o, n in zip(old_leaves, new_leaves)],
                 )
         self.epoch = checkpoint["epoch"]
         self.valid_trace = checkpoint["valid_trace"]

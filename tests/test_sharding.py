@@ -388,3 +388,45 @@ def test_sharded_ragat_training_matches_single_device():
     dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
     loss = TrainingJob.create(config, dataset).run()["avg_loss"]
     assert np.isfinite(loss)
+
+
+def test_resume_restores_mesh_sharding(tmp_path):
+    """Loading a checkpoint must re-apply the mesh shardings __init__
+    set up — a plain asarray would silently replace vocab-sharded
+    tables (and optimizer state) with replicated copies."""
+    import os
+    from kge_tpu.train.job import Job
+    from kge_tpu.utils.io import load_checkpoint
+
+    config = create_config("dataset_test", model="complex")
+    config.set("train.type", "negative_sampling")
+    config.set("negative_sampling.num_samples.s", 3)
+    config.set("negative_sampling.num_samples.o", 3)
+    config.set("train.batch_size", 8)
+    config.set("train.max_epochs", 1)
+    config.set("valid.every", 0)
+    config.set("lookup_embedder.dim", 16)
+    config.set("random_seed.default", 11)
+    config.set("tpu.mesh.data", 4)
+    config.set("tpu.mesh.model", 2)
+    config.folder = str(tmp_path / "run")
+    os.makedirs(config.folder)
+    config.init_folder()
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    job = TrainingJob.create(config, dataset)
+    job.run()
+    want = job.params["entity_embedder"]["weights"].sharding
+
+    checkpoint = load_checkpoint(config.checkpoint_file(1))
+    config.set("train.max_epochs", 2)
+    job2 = Job.create_from(checkpoint, new_config=config, dataset=dataset)
+    got = job2.params["entity_embedder"]["weights"].sharding
+    assert got == want, (got, want)
+    got_opt = [
+        x.sharding for x in jax.tree_util.tree_leaves(job2.opt_state)
+        if hasattr(x, "sharding")
+        and x.shape == job2.params["entity_embedder"]["weights"].shape
+    ]
+    assert got_opt and all(s == want for s in got_opt), got_opt
+    trace = job2.run()  # second epoch trains under the restored sharding
+    assert np.isfinite(trace["avg_loss"])

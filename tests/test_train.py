@@ -352,3 +352,77 @@ def test_steps_per_dispatch_groups_kvsall():
     assert ta["batches"] == tb["batches"]
     assert ta["size"] == tb["size"]
     assert np.isfinite(tb["avg_loss"])
+
+
+def test_early_stopping_fires_on_plateau():
+    """A constant validation metric is NOT improvement: stop after
+    `patience` validations whose best FIRST occurred earlier (reference
+    kge/job/train.py best_index semantics)."""
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+    from tests.util import create_config, get_dataset_folder
+
+    def make(entries):
+        config = create_config("dataset_test", model="complex")
+        config.set("train.type", "1vsAll")
+        config.set("train.batch_size", 8)
+        config.set("train.max_epochs", 3)
+        config.set("valid.every", 0)
+        config.set("valid.early_stopping.patience", 2)
+        config.set("lookup_embedder.dim", 8)
+        config.set("random_seed.default", 3)
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        job = TrainingJob.create(config, dataset)
+        job.valid_trace = [
+            {config.get("valid.metric"): v} for v in entries
+        ]
+        return job
+
+    # plateau: best first occurred 3 validations ago -> stop before epoch 1
+    job = make([0.5, 0.5, 0.5])
+    job.run()
+    assert job.epoch == 0
+    # still improving: best is the latest entry -> run to max_epochs
+    job = make([0.1, 0.2, 0.3])
+    job.run()
+    assert job.epoch == 3
+
+
+def test_prefetch_producer_exits_when_consumer_abandons():
+    """Closing the consumer generator mid-epoch must release the
+    producer thread blocked on the full queue (no leaked threads or
+    pinned batches per aborted trial)."""
+    import threading
+    import time as _time
+
+    from kge_tpu.train.train import _prefetch
+
+    before = set(threading.enumerate())
+    gen = _prefetch(iter(range(1000)), depth=2)
+    assert next(gen) == 0
+    new = [t for t in threading.enumerate() if t not in before]
+    assert len(new) == 1  # the producer
+    gen.close()
+    deadline = _time.time() + 5.0
+    while new[0].is_alive() and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert not new[0].is_alive(), "producer thread leaked after close()"
+
+
+def test_init_distributed_rejects_missing_process_id(monkeypatch):
+    """An explicit multi-host config without per-host process ids must
+    fail fast (a silent 0 default registers every host as primary)."""
+    import pytest as _pytest
+
+    from kge_tpu.parallel import distributed
+
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    monkeypatch.setattr(distributed, "_INITIALIZED", False)
+    with _pytest.raises(ValueError, match="process id"):
+        distributed.init_distributed("127.0.0.1:1234", 2, None)
+
+
+def test_broadcast_int_single_process_identity():
+    from kge_tpu.parallel.distributed import broadcast_int
+
+    assert broadcast_int(12345) == 12345
