@@ -88,9 +88,14 @@ class EntityPairRankingJob(EvaluationJob):
                     valid[None, :, None], axis=(1, 2),
                     atol=atol, rtol=rtol,
                 )
-                return g_acc + g, t_acc + t
+                # accumulate unsigned: the count domain is E^2 (int32
+                # wraps negative past ~46k entities; uint32 covers the
+                # whole range this quadratic protocol is feasible for —
+                # _evaluate rejects E > 65535)
+                return (g_acc + g.astype(jnp.uint32),
+                        t_acc + t.astype(jnp.uint32))
 
-            init = (jnp.zeros(bq, jnp.int32), jnp.zeros(bq, jnp.int32))
+            init = (jnp.zeros(bq, jnp.uint32), jnp.zeros(bq, jnp.uint32))
             return jax.lax.fori_loop(0, num_chunks, body, init)
 
         return jax.jit(batch_counts)
@@ -126,6 +131,13 @@ class EntityPairRankingJob(EvaluationJob):
             self.triples = self.dataset.split(self.eval_split)
         params, model_state = self._current_params()
         E = self.dataset.num_entities()
+        if E > 65535:
+            raise ValueError(
+                "entity_pair_ranking ranks every query against E^2 "
+                f"entity pairs; E={E} exceeds both the 32-bit count "
+                "range and the practical cost of the quadratic protocol "
+                "(intended for small/medium analysis graphs)"
+            )
         chunk = self.chunk_size if self.chunk_size > 0 else E
         num_chunks = math.ceil(E / chunk)
         model = self.model
@@ -135,12 +147,26 @@ class EntityPairRankingJob(EvaluationJob):
         bq = max(1, min(int(self.batch_size),
                         (64 << 20) // max(chunk * E, 1)))
 
-        # true pairs per relation over the filter splits (host, encoded)
-        pairs_by_p: Dict[int, set] = {}
-        for split in self.filter_splits:
-            tr = np.asarray(self.dataset.split(split))
-            for s, p, o in tr:
-                pairs_by_p.setdefault(int(p), set()).add(int(s) * E + int(o))
+        # true pairs per relation over the filter splits (host, encoded,
+        # built once per job: vectorized encode + stable groupby — a
+        # per-triple python loop here would dominate validation epochs)
+        if getattr(self, "_pairs_by_p", None) is None:
+            pairs_by_p: Dict[int, set] = {}
+            for split in self.filter_splits:
+                tr = np.asarray(self.dataset.split(split))
+                if not len(tr):
+                    continue
+                enc = tr[:, 0].astype(np.int64) * E + tr[:, 2].astype(np.int64)
+                order = np.argsort(tr[:, 1], kind="stable")
+                ps, starts = np.unique(tr[order, 1], return_index=True)
+                enc_sorted = enc[order]
+                bounds = list(starts[1:]) + [len(enc_sorted)]
+                for p, lo, hi in zip(ps, starts, bounds):
+                    pairs_by_p.setdefault(int(p), set()).update(
+                        enc_sorted[lo:hi].tolist()
+                    )
+            self._pairs_by_p = pairs_by_p
+        pairs_by_p = self._pairs_by_p
 
         epoch_time = -time.time()
         self.current_trace["epoch"] = dict(
@@ -151,13 +177,23 @@ class EntityPairRankingJob(EvaluationJob):
         for f in self.pre_epoch_hooks:
             f(self)
 
-        batch_fn = self._build_batch_fn(num_chunks, chunk)
-        filter_fn = self._build_filter_fn()
-        spo_fn = jax.jit(
-            lambda params, state, s, p, o: model.score_spo(
-                params, s, p, o, direction="o", ctx=Ctx(state=state)
+        # compiled fns cached across evaluations (valid.every=1 would
+        # otherwise recompile every epoch)
+        if getattr(self, "_batch_fns", None) is None:
+            self._batch_fns: Dict = {}
+        batch_fn = self._batch_fns.get((num_chunks, chunk))
+        if batch_fn is None:
+            batch_fn = self._build_batch_fn(num_chunks, chunk)
+            self._batch_fns[(num_chunks, chunk)] = batch_fn
+        if getattr(self, "_filter_fn", None) is None:
+            self._filter_fn = self._build_filter_fn()
+            self._spo_fn = jax.jit(
+                lambda params, state, s, p, o: model.score_spo(
+                    params, s, p, o, direction="o", ctx=Ctx(state=state)
+                )
             )
-        )
+        filter_fn = self._filter_fn
+        spo_fn = self._spo_fn
 
         entity_ids = np.arange(E, dtype=np.int32)
         pad = (-E) % chunk

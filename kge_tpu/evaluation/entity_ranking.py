@@ -426,10 +426,22 @@ class EntityRankingJob(EvaluationJob):
                 # candidate tiles through VMEM), so no host-chosen chunk
                 # loop and — for identity candidate transforms — no
                 # materialized candidate copies at all; the kernel reads
-                # the embedding table directly. Vocab-padding rows (the
-                # table pads to divide the mesh axis) are masked invalid.
-                cand_sp, cand_po = model.dot_candidates_all(params, ctx=ctx)
+                # the embedding table directly. Under the mesh, the
+                # PADDED table is used (its length divides the 'model'
+                # axis, which shard_map requires; an unpadded
+                # num_entities generally does not) with padding rows
+                # masked invalid; jnp.pad covers embedders without a
+                # padded table.
+                cand_sp, cand_po = model.dot_candidates_all(
+                    params, ctx=ctx, padded=mesh is not None
+                )
                 C = cand_sp.shape[0]
+                model_axis = mesh.shape.get("model", 1) if mesh else 1
+                Cp = -(-C // model_axis) * model_axis
+                if Cp != C:
+                    cand_sp = jnp.pad(cand_sp, ((0, Cp - C), (0, 0)))
+                    cand_po = jnp.pad(cand_po, ((0, Cp - C), (0, 0)))
+                    C = Cp
                 valid = (
                     jnp.arange(C, dtype=jnp.int32) < num_entities
                 ).astype(jnp.float32)

@@ -64,7 +64,6 @@ class EvaluationJob(TrainingOrEvaluationJob):
         )
 
     def _run(self) -> Dict[str, Any]:
-        was_training = None
         self._evaluate()
         epoch_trace = self.current_trace["epoch"]
         self.current_trace["epoch"] = None

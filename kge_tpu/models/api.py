@@ -512,12 +512,20 @@ class KgeModel(KgeBase):
         )
         return cand_sp, cand_po
 
-    def dot_candidates_all(self, params, ctx: Ctx):
+    def dot_candidates_all(self, params, ctx: Ctx, padded: bool = False):
         """Candidate matrices over the WHOLE entity vocabulary. For
         identity candidate transforms (DistMult/ComplEx raw rows) this
         is the embedding table itself — no gather, no materialized
-        copy — letting the fused rank-count kernel stream it directly."""
-        emb = self.get_s_embedder().embed_all(params["entity_embedder"], ctx)
+        copy — letting the fused rank-count kernel stream it directly.
+        ``padded`` keeps the table's padding rows (length then divides
+        the mesh model axis; callers mask them invalid)."""
+        embedder = self.get_s_embedder()
+        try:
+            emb = embedder.embed_all(
+                params["entity_embedder"], ctx, padded=padded
+            )
+        except TypeError:  # embedder without a padded variant
+            emb = embedder.embed_all(params["entity_embedder"], ctx)
         return (
             self._scorer.candidate_vec(params["scorer"], emb, "sp_", ctx),
             self._scorer.candidate_vec(params["scorer"], emb, "_po", ctx),

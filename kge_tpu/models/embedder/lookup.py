@@ -153,12 +153,14 @@ class LookupEmbedder(KgeEmbedder):
         emb = embedding_lookup(params["weights"], indexes, mode=self._lookup_mode)
         return self._cast(ctx.dropout(emb, self.dropout_rate), ctx)
 
-    def embed_all(self, params, ctx: Ctx) -> jnp.ndarray:
-        return self._cast(
-            ctx.dropout(params["weights"][: self.vocab_size],
-                        self.dropout_rate),
-            ctx,
-        )
+    def embed_all(self, params, ctx: Ctx, padded: bool = False) -> jnp.ndarray:
+        """All embeddings; with ``padded``, the full padded table (its
+        length divides the mesh model axis by construction — callers
+        shard-mapping over the vocabulary need that divisibility and
+        mask the padding rows themselves)."""
+        rows = (params["weights"] if padded
+                else params["weights"][: self.vocab_size])
+        return self._cast(ctx.dropout(rows, self.dropout_rate), ctx)
 
     # ------------------------------------------------------------------ penalty
 

@@ -105,9 +105,15 @@ class ReciprocalRelationsModel(KgeModel):
         q_po = self._scorer.query_vec(params["scorer"], o_emb, p_inv, "sp_", ctx)
         return q_sp, q_po
 
-    def dot_candidates_all(self, params, ctx=None):
+    def dot_candidates_all(self, params, ctx=None, padded: bool = False):
         ctx = ctx or Ctx()
-        emb = self.get_s_embedder().embed_all(params["entity_embedder"], ctx)
+        embedder = self.get_s_embedder()
+        try:
+            emb = embedder.embed_all(
+                params["entity_embedder"], ctx, padded=padded
+            )
+        except TypeError:  # embedder without a padded variant
+            emb = embedder.embed_all(params["entity_embedder"], ctx)
         cand = self._scorer.candidate_vec(params["scorer"], emb, "sp_", ctx)
         return cand, cand
 

@@ -3,7 +3,6 @@ parameter settings (reference: kge/job/search_auto.py)."""
 
 from __future__ import annotations
 
-import copy
 import os
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -128,6 +127,17 @@ class AutoSearchJob(SearchJob):
 
         self.wait_task(return_when="ALL_COMPLETED")
         self._collect_results(metric_name)
+        # delegated trials may have finished on their shard since their
+        # one-time snapshot import; refresh so the final summary and the
+        # saved trial list see them (shared-filesystem coordination)
+        for i in range(len(self.results)):
+            if self.results[i] is None and not self.owns_trial(i):
+                refreshed = self.import_delegated_result(
+                    i, os.path.join(self.config.folder, str(i).zfill(5))
+                )
+                if refreshed["best"] is not None:
+                    self.results[i] = refreshed["best"]
+                    self.record_trial_trace(refreshed)
         self.save(os.path.join(self.config.folder, "checkpoint_00000.pt"))
 
         # summarize

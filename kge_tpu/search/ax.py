@@ -384,6 +384,10 @@ class AxSearchJob(AutoSearchJob):
                         trial_index=trial_id,
                         raw_data=float(result[metric_name]),
                     )
+                # result None: deliberately left RUNNING — the main loop
+                # re-runs exactly these trials and resolves each via
+                # register_trial_result (complete or log_trial_failure);
+                # failing them here would break that re-registration
             self._generated = len(self.parameters)
         elif self._sobol is not None:
             # only the first _num_sobol() arms consumed Sobol draws; the

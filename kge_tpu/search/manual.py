@@ -3,7 +3,6 @@ search_grid.py)."""
 
 from __future__ import annotations
 
-import copy
 import itertools
 from typing import Any, Dict, List
 
@@ -68,6 +67,15 @@ class ManualSearchJob(SearchJob):
                                         list(flat.keys())),
             )
         self.wait_task(return_when="ALL_COMPLETED")
+        # delegated trials may have finished on their shard since their
+        # one-time snapshot import; refresh from their trace files so the
+        # final summary sees them (shared-filesystem coordination)
+        folders = {i: tc.folder for i, tc, _ in tasks}
+        self.ready_task_results = [
+            self.import_delegated_result(r["index"], folders[r["index"]])
+            if r.get("delegated") else r
+            for r in self.ready_task_results
+        ]
 
         best = None
         metric = Metric(self)

@@ -49,15 +49,28 @@ class SearchJob(Job):
             )
         self.running_tasks = set()
         self.ready_task_results: List[Any] = []
-        if self.num_workers > 1:
+        # pool is created lazily on first submit (GridSearchJob never
+        # submits itself — it delegates to a ManualSearchJob with its
+        # own pool) and shut down when run() returns
+        self.process_pool = None
+
+    def _ensure_pool(self):
+        if self.process_pool is None and self.num_workers > 1:
             import multiprocessing as mp
 
             self.process_pool = concurrent.futures.ProcessPoolExecutor(
                 max_workers=self.num_workers,
                 mp_context=mp.get_context("spawn"),
             )
-        else:
-            self.process_pool = None
+        return self.process_pool
+
+    def run(self) -> Dict[str, Any]:
+        try:
+            return super().run()
+        finally:
+            if self.process_pool is not None:
+                self.process_pool.shutdown(wait=True)
+                self.process_pool = None
 
     @staticmethod
     def create(config: Config, dataset: Dataset, parent_job=None) -> "SearchJob":
@@ -69,12 +82,13 @@ class SearchJob(Job):
 
     def submit_task(self, task, task_arg, wait_when_full: bool = True):
         """Run task now (inline) or submit to the pool, assigning a device."""
-        if self.process_pool is None:
+        pool = self._ensure_pool()
+        if pool is None:
             self.ready_task_results.append(task(task_arg))
         else:
             if len(self.running_tasks) >= self.num_workers and wait_when_full:
                 self.wait_task()
-            future = self.process_pool.submit(task, task_arg)
+            future = pool.submit(task, task_arg)
             self.running_tasks.add(future)
 
     def wait_task(self, return_when=concurrent.futures.FIRST_COMPLETED):
@@ -227,6 +241,11 @@ def run_trial(payload: Dict[str, Any]) -> Dict[str, Any]:
         gc.collect()
         return dict(index=index, best=best, metric_value=metric_value,
                     valid_entries=valid_entries)
+    except (KeyboardInterrupt, SystemExit):
+        # never swallow an interactive abort as a "failed trial" — with
+        # on_error=continue the search would otherwise march straight on
+        # to the next trial
+        raise
     except BaseException as e:
         if payload["on_error"] == "continue":
             return dict(index=index, best=None, metric_value=None,

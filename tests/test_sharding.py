@@ -430,3 +430,53 @@ def test_resume_restores_mesh_sharding(tmp_path):
     assert got_opt and all(s == want for s in got_opt), got_opt
     trace = job2.run()  # second epoch trains under the restored sharding
     assert np.isfinite(trace["avg_loss"])
+
+
+def test_fused_eval_mesh_with_nondivisible_vocab():
+    """Fused eval under the mesh with num_entities NOT divisible by the
+    'model' axis: the kernel must stream the PADDED table (shard_map
+    needs the divisibility; the unpadded vocabulary does not divide)
+    with padding rows masked, and agree with the generic path."""
+    from kge_tpu.evaluation.eval import EvaluationJob
+    from kge_tpu.models import KgeModel
+
+    def synthetic(config, V=123, R=7, N=400):
+        rng = np.random.default_rng(5)
+        triples = np.stack([
+            rng.integers(V, size=N), rng.integers(R, size=N),
+            rng.integers(V, size=N),
+        ], axis=1).astype(np.int32)
+        config.set("dataset.num_entities", V)
+        config.set("dataset.num_relations", R)
+        config.set("dataset.pickle", False)
+        ds = Dataset(config, folder=None)
+        ds._triples["train"] = triples
+        ds._triples["valid"] = triples[:40]
+        ds._triples["test"] = triples[40:80]
+        return ds
+
+    results = {}
+    for impl in ("generic", "fused"):
+        config = create_config("dataset_test", model="complex")
+        config.set("job.type", "eval")
+        config.set("eval.split", "test")
+        config.set("lookup_embedder.dim", 16)
+        config.set("tpu.mesh.data", 2)
+        config.set("tpu.mesh.model", 4)  # 123 % 4 != 0
+        config.set("entity_ranking.implementation", impl)
+        dataset = synthetic(config)
+        model = KgeModel.create(config, dataset)
+        assert model.get_s_embedder().padded_vocab_size % 4 == 0
+        assert model.get_s_embedder().padded_vocab_size != 123
+        params = model.init_params(jax.random.PRNGKey(3))
+        m = build_mesh(config)
+        params = jax.device_put(params, params_sharding(m, params))
+        job = EvaluationJob.create(config, dataset, model=model)
+        job.set_params(params, model.init_state())
+        if impl == "fused":
+            assert job._use_fused()
+        job.verbose = False
+        results[impl] = job._run()
+    for key in ("mean_reciprocal_rank", "mean_reciprocal_rank_filtered",
+                "mean_rank_filtered", "hits_at_1", "hits_at_10_filtered"):
+        assert abs(results["generic"][key] - results["fused"][key]) < 1e-9, key
