@@ -241,7 +241,10 @@ class MessagePassingLayer(RgnnLayerBase):
 
     def init_params(self, rng) -> Dict[str, Any]:
         params: Dict[str, Any] = {}
-        keys = iter(jax.random.split(rng, 64))
+        # sized to the actual draw count (a fixed pool would raise
+        # StopIteration for large num_heads x modes configurations)
+        n_keys = 8 + self.num_heads * (len(self.modes) + 3)
+        keys = iter(jax.random.split(rng, n_keys))
         if self.bias_:
             params["bias"] = init_weight(
                 next(keys), (self.out_dim,), self.bias_init
@@ -561,7 +564,11 @@ class MessagePassingLayer(RgnnLayerBase):
                 score = -jax.nn.leaky_relu(
                     (m @ att_w)[:, 0], negative_slope=0.2
                 )
-                e = jnp.where(p >= 0, jnp.exp(score), 0.0)
+                # edge-dropped edges (s == 0) leave the softmax ENTIRELY
+                # — the reference removes them from edge_index, so they
+                # contribute nothing to the denominator (a zeroed
+                # message would still add exp(0) = 1 per dropped edge)
+                e = jnp.where((p >= 0) & (s > 0), jnp.exp(score), 0.0)
                 ed = e if drop_mask is None else e * drop_mask[:, k]
                 num = num + ed[:, None] * m
                 den = den + e[:, None]
@@ -692,6 +699,16 @@ class MessagePassingLayer(RgnnLayerBase):
             bi = self.in_dim // nb
             bo = self.out_dim // nb
 
+        # the reference applies prop_drop to each RELATION's aggregated
+        # [N, d] message (every relation is a mode there). Applying the
+        # relation's mask at edge level is exactly equivalent —
+        # mask*a + mask*b = mask*(a+b) — and keying it by relation id
+        # keeps bucket rows of a split relation on one mask.
+        drop_rng = None
+        if ctx.train and self.prop_dropout > 0:
+            drop_rng = ctx.take_rng()
+            keep = 1.0 - self.prop_dropout
+
         def step(acc, inp):
             bucket, rel = inp
             valid = (bucket >= 0).astype(x.dtype)
@@ -718,6 +735,12 @@ class MessagePassingLayer(RgnnLayerBase):
                 msg = msg * (deg_inv[src] * deg_inv[nbr] * mask)[:, None]
             else:
                 msg = msg * mask[:, None]
+            if drop_rng is not None:
+                rel_mask = jax.random.bernoulli(
+                    jax.random.fold_in(drop_rng, rel), keep,
+                    (N, self.out_dim),
+                ).astype(msg.dtype)
+                msg = msg * jnp.take(rel_mask, src, axis=0) / keep
             # scatter-add straight into the carry: `acc + segment_sum`
             # would build (and read back) a fresh [N, d] buffer every
             # bucket row
@@ -804,7 +827,9 @@ class MessagePassingLayer(RgnnLayerBase):
                         score = -jax.nn.leaky_relu(
                             (msg @ att_w)[:, 0], negative_slope=0.2
                         )
-                        e = jnp.exp(score)[:, None]
+                        # self-edge-dropped loops leave the softmax
+                        # entirely (reference removes them)
+                        e = (jnp.exp(score) * (mask > 0))[:, None]
                         num = num + ctx.dropout(e, self.prop_dropout) * msg
                         den = den + e
                     else:
@@ -885,7 +910,7 @@ class MessagePassingLayer(RgnnLayerBase):
                     params[f"w_{mode}_h{head}"], head, is_loop, norm, ctx,
                 )
                 if self.attention:
-                    per_mode.append((msg, src))
+                    per_mode.append((msg, src, mask))
                 else:
                     agg = segment_sum(msg, src, N,
                                       indices_are_sorted=src_sorted)
@@ -896,13 +921,17 @@ class MessagePassingLayer(RgnnLayerBase):
                     per_mode.append(agg)
             if self.attention:
                 # RAGAT attention: edge-level softmax per target node
-                messages = jnp.concatenate([m for m, _ in per_mode], axis=0)
-                dst = jnp.concatenate([s for _, s in per_mode], axis=0)
+                messages = jnp.concatenate([m for m, _, _ in per_mode], axis=0)
+                dst = jnp.concatenate([s for _, s, _ in per_mode], axis=0)
+                emask = jnp.concatenate([m for _, _, m in per_mode], axis=0)
                 att_w = params[f"w_att_h{head}"]
                 scores = -jax.nn.leaky_relu(
                     (messages @ att_w).reshape(-1), negative_slope=0.2
                 )
-                edge_exp = jnp.exp(scores)[:, None]
+                # dropped edges leave the softmax entirely (the reference
+                # removes them from edge_index, so they add nothing to
+                # the denominator)
+                edge_exp = (jnp.exp(scores) * (emask > 0))[:, None]
                 entity_exp = segment_sum(edge_exp, dst, N)
                 entity_exp = jnp.where(entity_exp == 0.0, 1.0, entity_exp)
                 edge_exp = ctx.dropout(edge_exp, self.prop_dropout)

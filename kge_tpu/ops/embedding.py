@@ -117,6 +117,11 @@ def embedding_lookup(table: jnp.ndarray, indexes: jnp.ndarray,
         out = _lookup_onehot(table, indexes.reshape(-1))
     elif mode == "gather_densegrad":
         out = _lookup_gather_densegrad(table, indexes.reshape(-1))
-    else:
+    elif mode == "gather":
         out = jnp.take(table, indexes.reshape(-1), axis=0)
+    else:
+        raise ValueError(
+            f"unknown tpu.embedding_lookup mode {mode!r} "
+            "(auto/onehot/gather_densegrad/gather)"
+        )
     return out.reshape(*indexes.shape, table.shape[1])

@@ -24,6 +24,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _greater_close(scores, t, atol: float, rtol: float):
+    """(greater, close) masks — THE tie semantics, shared by the Pallas
+    kernel, the XLA referee, and greater_tie_counts. NaN scores compare
+    as -inf. The tolerance term applies to FINITE pairs only; non-finite
+    values are close iff equal (torch.isclose semantics — the bare
+    formula would make every finite score 'tie' with a -inf true score,
+    ranking a NaN-scoring row first instead of last)."""
+    scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
+    finite = jnp.isfinite(scores) & jnp.isfinite(t)
+    is_close = (scores == t) | (
+        finite & (jnp.abs(scores - t) <= atol + rtol * jnp.abs(t))
+    )
+    return (scores > t) & jnp.logical_not(is_close), is_close
+
+
 def _kernel(q_ref, cand_ref, true_ref, cvalid_ref, rank_ref, ties_ref,
             *, atol: float, rtol: float):
     j = pl.program_id(1)
@@ -42,13 +57,9 @@ def _kernel(q_ref, cand_ref, true_ref, cvalid_ref, rank_ref, ties_ref,
         # the ambient (tpu.eval_matmul_precision) context
         precision=jax.lax.Precision.HIGHEST,
     )  # [TB, TC]
-    scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
     true = true_ref[:]          # [TB, 1]
     valid = cvalid_ref[:]       # [1, TC]
-    is_close = (scores == true) | (
-        jnp.abs(scores - true) <= atol + rtol * jnp.abs(true)
-    )
-    is_greater = (scores > true) & jnp.logical_not(is_close)
+    is_greater, is_close = _greater_close(scores, true, atol, rtol)
     mask = valid > 0
     rank_ref[:] += jnp.sum(
         jnp.where(is_greater & mask, 1, 0), axis=1, keepdims=True
@@ -84,7 +95,9 @@ def rank_counts(q: jnp.ndarray, cand: jnp.ndarray, true: jnp.ndarray,
         # scoped-VMEM limit with double buffering. Must be a multiple
         # of 128: tc is the LAST dim of the cand_valid block.
         tc = (4 << 20) // (D * 4) // 128 * 128
-        tc = max(2048, min(8192, tc))
+        # no floor above the budget: flooring at 2048 would put a
+        # D=2048 candidate block at 16 MiB and trip scoped VMEM
+        tc = max(128, min(8192, tc))
     Bp, Cp = _round_up(B, tb), _round_up(C, tc)
     q_p = jnp.zeros((Bp, D), q.dtype).at[:B].set(q)
     # cand is NOT padded: for identity candidate transforms it is the
@@ -128,10 +141,7 @@ def rank_counts(q: jnp.ndarray, cand: jnp.ndarray, true: jnp.ndarray,
 def rank_counts_xla(q, cand, true, cand_valid, atol=1e-5, rtol=1e-4):
     """Reference XLA implementation (and CPU fallback)."""
     scores = q @ cand.T
-    scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
-    t = true[:, None]
-    is_close = (scores == t) | (jnp.abs(scores - t) <= atol + rtol * jnp.abs(t))
-    is_greater = (scores > t) & ~is_close
+    is_greater, is_close = _greater_close(scores, true[:, None], atol, rtol)
     mask = cand_valid[None, :] > 0
     rank = jnp.sum(is_greater & mask, axis=1, dtype=jnp.int32)
     ties = jnp.sum(is_close & mask, axis=1, dtype=jnp.int32)
@@ -144,14 +154,8 @@ def greater_tie_counts(scores, true, valid, axis, atol=1e-5, rtol=1e-4):
     reference's semantics. Single source of truth for every counting
     path (generic chunks, fused coordinate subtraction, pair ranking).
     """
-    scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
     t = jnp.where(jnp.isnan(true), -jnp.inf, true)
-    # the equality term matches torch/numpy isclose for equal infinities
-    # (|inf - inf| is NaN under the bare tolerance formula)
-    is_close = (scores == t) | (
-        jnp.abs(scores - t) <= atol + rtol * jnp.abs(t)
-    )
-    is_greater = (scores > t) & ~is_close
+    is_greater, is_close = _greater_close(scores, t, atol, rtol)
     rank = jnp.sum(is_greater & valid, axis=axis, dtype=jnp.int32)
     ties = jnp.sum(is_close & valid, axis=axis, dtype=jnp.int32)
     return rank, ties

@@ -26,16 +26,6 @@ def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray,
     )
 
 
-def segment_mean(data, segment_ids, num_segments):
-    total = segment_sum(data, segment_ids, num_segments)
-    count = segment_sum(jnp.ones_like(data[..., :1]), segment_ids, num_segments)
-    return total / jnp.maximum(count, 1.0)
-
-
-def segment_max(data, segment_ids, num_segments):
-    return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
-
-
 def degree_norm(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
                 num_nodes: int, src_sorted: bool = False) -> jnp.ndarray:
     """Symmetric degree edge norm 1/(sqrt(D_src) sqrt(D_dst)), with edge

@@ -39,6 +39,44 @@ def test_rank_counts_tie_tolerances():
     assert int(t[0]) == 2
 
 
+def test_rank_counts_inf_true_ranks_last():
+    """A -inf true score (the caller's NaN replacement) must rank LAST:
+    every finite candidate is strictly greater, none tie. The bare
+    tolerance formula |s-t| <= atol + rtol*|t| evaluates inf <= inf for
+    non-finite t — torch.isclose treats non-finite pairs as close iff
+    EQUAL, and these semantics must match or a NaN-scoring query row
+    silently ranks first instead of last."""
+    import torch
+
+    q = jnp.asarray([[1.0]])
+    cand = jnp.asarray([[2.0], [-3.0], [0.0]])
+    valid = jnp.ones(3)
+    for true_val, want_rank, want_ties in [
+        (-np.inf, 3, 0),   # all finite candidates greater, no ties
+        (np.inf, 0, 0),    # nothing greater, nothing ties
+    ]:
+        true = jnp.asarray([true_val])
+        r, t = rank_counts(q, cand, true, valid, interpret=True,
+                           tb=8, tc=128)
+        r2, t2 = rank_counts_xla(q, cand, true, valid)
+        assert int(r[0]) == int(r2[0]) == want_rank, true_val
+        assert int(t[0]) == int(t2[0]) == want_ties, true_val
+        # pin against torch.isclose on the same numbers
+        sc = torch.tensor([2.0, -3.0, 0.0]) * torch.tensor([1.0])
+        tt = torch.tensor([true_val])
+        close = torch.isclose(sc, tt, atol=1e-5, rtol=1e-4)
+        assert int(close.sum()) == want_ties
+        assert int(((sc > tt) & ~close).sum()) == want_rank
+    # equal infinities DO tie (torch.isclose semantics)
+    from kge_tpu.ops.pallas.rank_count import greater_tie_counts
+
+    g, ties = greater_tie_counts(
+        jnp.asarray([[-np.inf, 1.0]]), jnp.asarray([[-np.inf]]),
+        jnp.ones((1, 2), bool), axis=1,
+    )
+    assert int(g[0]) == 1 and int(ties[0]) == 1
+
+
 @pytest.mark.tpu
 def test_rank_counts_real_mosaic_kernel_matches_xla():
     """Runs the REAL (non-interpret) Mosaic kernel against the XLA

@@ -387,3 +387,157 @@ def test_row_blocks_native_matches_numpy():
                     assert a[k] == b[k], (E, modes, k)
                 else:
                     assert np.array_equal(a[k], b[k]), (E, modes, k)
+
+
+def test_attention_dropped_edges_leave_softmax():
+    """Edge-dropped entries (scale 0) must contribute NOTHING to the
+    attention softmax denominator (the reference removes dropped edges
+    from edge_index entirely); a zeroed message still scores
+    -leaky_relu(0)=0, so counting it would add exp(0)=1 per dropped
+    edge. Referee: numpy softmax over only the live entries."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from kge_tpu import Dataset
+    from kge_tpu.models import Ctx, KgeModel
+    from tests.util import create_config, get_dataset_folder
+
+    config = create_config("dataset_test", model="ragat")
+    mp = "ragat.encoder.message_passing_args"
+    config.set(f"{mp}.attention", True)
+    for key in (
+        "ragat.entity_embedder.dim", "ragat.relation_embedder.dim",
+        "ragat.decoder.base_model.entity_embedder.dim",
+        "ragat.decoder.base_model.relation_embedder.dim",
+    ):
+        config.set(key, 16, create=True)
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    model = KgeModel.create(config, dataset)
+    params = model.init_params(jax.random.PRNGKey(3))
+    layer = model._encoder.rgnn.layers[0]
+    lp = params["encoder"]["layers"][0]
+
+    rng = np.random.default_rng(0)
+    N, K = 4, 3
+    d_in = layer.in_dim
+    tab = jnp.asarray(rng.standard_normal((N, d_in)), jnp.float32)
+    r_full = jnp.asarray(
+        rng.standard_normal((dataset.num_relations() * 2 + 1, d_in)),
+        jnp.float32,
+    )
+    node = jnp.asarray([0, 1])
+    nbr = jnp.asarray([[1, 2, 3], [0, 2, 3]])
+    types = jnp.asarray([[0, 1, 0], [1, 0, 1]])
+    # entry (0,1): edge-dropped (pos valid, scale 0)
+    # entry (1,2): padding (pos -1)
+    pos = jnp.asarray([[0, 1, 2], [3, 4, -1]])
+    sc = jnp.asarray([1.0, 0.0, 1.0, 1.0, 1.0])
+    weight = lp["w_in_h0"]
+    att_w = lp["w_att_h0"]
+    mw = lp.get("w_msgweight_h0") if layer.message_weight else None
+    alpha = lp.get("alpha") if layer.learned_relation_weight else None
+    num, den = layer._attention_accumulate(
+        tab, node, nbr, types, pos, sc, r_full, weight, att_w, mw, alpha,
+        None,
+    )
+    num, den = np.asarray(num), np.asarray(den)
+
+    # numpy referee over live entries only
+    for row in range(2):
+        exp_num = np.zeros(layer.out_dim)
+        exp_den = 0.0
+        for k in range(K):
+            p_ = int(pos[row, k])
+            if p_ < 0 or float(sc[p_]) == 0.0:
+                continue
+            h_i = np.asarray(tab)[int(node[row])]
+            h_j = np.asarray(tab)[int(nbr[row, k])]
+            h_r = np.asarray(r_full)[int(types[row, k])]
+            mw_k = (np.asarray(mw)[int(types[row, k])]
+                    if mw is not None else None)
+            m = np.asarray(layer.composition(
+                jnp.asarray(h_i)[None], jnp.asarray(h_j)[None],
+                jnp.asarray(h_r)[None],
+                jnp.asarray(mw_k)[None] if mw_k is not None else None,
+            ))[0] @ np.asarray(weight)
+            if alpha is not None:
+                m = m * np.asarray(alpha)[int(types[row, k])]
+            m = m * float(sc[p_])
+            z = float(m @ np.asarray(att_w))
+            score = -(z if z > 0 else 0.2 * z)
+            e = np.exp(score)
+            exp_num = exp_num + e * m
+            exp_den = exp_den + e
+        np.testing.assert_allclose(num[row], exp_num, rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(den[row, 0], exp_den, rtol=1e-5)
+
+
+def test_per_relation_propagation_dropout_engages():
+    """emb_propagation_dropout must not be a silent no-op on the
+    per_relation path (the reference prop_drops every relation's
+    aggregated message). Train-mode forwards with dropout>0 must vary
+    with the rng and average back to the undropped forward (unbiased
+    1/keep scaling)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from kge_tpu import Dataset
+    from kge_tpu.models import Ctx, KgeModel
+    from tests.util import create_config, get_dataset_folder
+
+    config = create_config("dataset_test", model="compgcn")
+    mp = "compgcn.encoder.message_passing_args"
+    config.set(f"{mp}.propagation", "per_relation")
+    config.set("compgcn.encoder.weight_decomposition", "basis")
+    config.set("compgcn.encoder.num_blocks_or_bases", 2)
+    config.set(f"{mp}.emb_propagation_dropout", 0.5)
+    config.set(f"{mp}.edge_dropout", 0.0)
+    config.set(f"{mp}.self_edge_dropout", 0.0)
+    for key in (
+        "compgcn.entity_embedder.dim", "compgcn.relation_embedder.dim",
+        "compgcn.decoder.base_model.entity_embedder.dim",
+        "compgcn.decoder.base_model.relation_embedder.dim",
+    ):
+        config.set(key, 16, create=True)
+    config.set("compgcn.encoder.use_stale_embeddings", False)
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    model = KgeModel.create(config, dataset)
+    params = model.init_params(jax.random.PRNGKey(3))
+    layer = model._encoder.rgnn.layers[0]
+    lp = params["encoder"]["layers"][0]
+    graph = model._encoder.graph()
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, layer.in_dim)),
+        jnp.float32,
+    )
+    r_full = jnp.asarray(
+        np.random.default_rng(1).standard_normal(
+            (dataset.num_relations() * 2 + 1, layer.in_dim)),
+        jnp.float32,
+    )
+    edge_mask = jnp.ones(graph["edge_index"].shape[1], jnp.float32)
+
+    graph_j = {k: (jnp.asarray(v) if hasattr(v, "shape") else v)
+               for k, v in graph.items()}
+
+    @jax.jit
+    def fwd_train(key):
+        ctx = Ctx(train=True, rng=key, state=model.init_state())
+        return layer._per_relation_out(lp, x, r_full, graph_j, edge_mask,
+                                       ctx)
+
+    ctx0 = Ctx(train=False, state=model.init_state())
+    base = np.asarray(layer._per_relation_out(
+        lp, x, r_full, graph_j, edge_mask, ctx0))
+    keys = jax.random.split(jax.random.PRNGKey(0), 300)
+    draws = np.stack([np.asarray(fwd_train(k)) for k in keys])
+    # dropout actually engages (train draws differ from eval and vary)
+    assert not np.allclose(draws[0], base)
+    assert not np.allclose(draws[0], draws[1])
+    # unbiased: mean over draws approaches the undropped output
+    err = np.abs(draws.mean(axis=0) - base)
+    scale = np.abs(base).mean() + 1e-6
+    assert err.mean() < 0.15 * scale, (err.mean(), scale)
