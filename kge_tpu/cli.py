@@ -205,7 +205,10 @@ def main():
                 config._import(value)
             config.set(key, value, create=True)
         for key, value in late_overrides.items():
-            config.set(key, value, create=True)
+            # late keys come from imported component yamls, which exist
+            # by now; creating unknown keys would make a typo'd flag a
+            # silent no-op (reference CLI rejects unknown keys)
+            config.set(key, value)
         # determine output folder
         if args.folder:
             folder = args.folder
@@ -238,7 +241,7 @@ def main():
                 continue
             config.set(key, value, create=True)
         for key, value in late_overrides.items():
-            config.set(key, value, create=True)
+            config.set(key, value)  # unknown keys error (typo guard)
         checkpoint_file = get_checkpoint_file(config, args.checkpoint)
         # no checkpoint on disk (e.g. a search folder: trials carry their
         # own checkpoints) -> recreate the job fresh from the saved config

@@ -196,6 +196,13 @@ class Config:
                 parsed = yaml.safe_load(value)
                 if isinstance(parsed, type(current)):
                     value = parsed
+            if isinstance(value, str) and isinstance(current, bool):
+                # CLI flag strings for bool options ("True"/"false"/"on")
+                lowered = value.strip().lower()
+                if lowered in ("true", "1", "yes", "on"):
+                    value = True
+                elif lowered in ("false", "0", "no", "off"):
+                    value = False
             if isinstance(value, str) and isinstance(current, (int, float)) and not isinstance(current, bool):
                 coerced = _coerce_number(value)
                 if isinstance(coerced, (int, float)):
@@ -476,7 +483,14 @@ class Config:
                     line = prefix + line
                 if self.log_prefix:
                     line = self.log_prefix + line
-                if echo and not self.get("console.quiet"):
+                # tolerate configs without defaults loaded (e.g. the
+                # bare module configs built inside _import): treat a
+                # missing console.quiet as not-quiet
+                try:
+                    quiet = bool(self.get("console.quiet"))
+                except KeyError:
+                    quiet = False
+                if echo and not quiet:
                     print(line)
                 f.write(f"{datetime.datetime.now()} {line}\n")
 

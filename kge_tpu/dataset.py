@@ -366,7 +366,17 @@ class Dataset(Configurable):
             ):
                 the_map = self.map_indexes(None, fallback)
         if the_map is None:
-            the_map = self.load_map(key, as_list=True)
+            if key in self._STRING_FALLBACKS:
+                # strings files are keyed by EXTERNAL id (LibKGE layout,
+                # type idmap): remap through the id file so the list
+                # aligns with dense indexes (reference
+                # kge/dataset.py:478-488 does the same)
+                the_map = self.load_map(
+                    key, as_list=True, ids_key=self._STRING_FALLBACKS[key],
+                    ignore_duplicates=True,
+                )
+            else:
+                the_map = self.load_map(key, as_list=True)
         if indexes is None:
             return the_map
         if np.isscalar(indexes) or isinstance(indexes, int):
@@ -385,6 +395,18 @@ class Dataset(Configurable):
                         f"dataset.files.{split}.filename"))
                     for split in self.files_of_type("triples")
                 ]
+                # id-derived indexes (entity/relation_id_to_index) must
+                # also invalidate when the id files are regenerated;
+                # including them for every index over-invalidates
+                # slightly but never serves stale inversions
+                for ids_key in ("entity_ids", "relation_ids"):
+                    try:
+                        sources.append(os.path.join(
+                            self.folder, self.config.get(
+                                f"dataset.files.{ids_key}.filename")
+                        ))
+                    except KeyError:
+                        pass
                 def build():
                     self.index_functions[key](self)
                     return self._indexes[key]

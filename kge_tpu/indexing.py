@@ -114,7 +114,11 @@ class KvsAllIndex:
         pos = self._positions(pairs)
         present = pos >= 0
         starts = np.where(present, self.offsets[np.maximum(pos, 0)], 0)
-        ends = np.where(present, self.offsets[np.maximum(pos, 0) + 1], 0)
+        # clip the end lookup: an index over an EMPTY split has
+        # offsets == [0], and the unconditional +1 inside np.where
+        # would raise before the mask applies
+        end_pos = np.minimum(np.maximum(pos, 0) + 1, len(self.offsets) - 1)
+        ends = np.where(present, self.offsets[end_pos], 0)
         counts = (ends - starts).astype(np.int64)
         total = int(counts.sum())
         rows = np.repeat(np.arange(len(pairs), dtype=np.int64), counts)
@@ -136,7 +140,8 @@ class KvsAllIndex:
         pos = self._positions(pairs)
         present = pos >= 0
         starts = self.offsets[np.maximum(pos, 0)]
-        ends = self.offsets[np.maximum(pos, 0) + 1]
+        end_pos = np.minimum(np.maximum(pos, 0) + 1, len(self.offsets) - 1)
+        ends = self.offsets[end_pos]
         return np.where(present, ends - starts, 0)
 
     def items(self):
@@ -290,7 +295,10 @@ class IndexWrapper:
 def _invert_ids(dataset, obj: str):
     name = f"{obj}_id_to_index"
     if name not in dataset._indexes:
-        ids = dataset.load_map(f"{obj}_ids")
+        # as_list: dense-index order, so the inversion maps EXTERNAL id
+        # string -> dense index (enumerating the raw dict would build an
+        # identity int->int map)
+        ids = dataset.load_map(f"{obj}_ids", as_list=True)
         dataset._indexes[name] = {v: k for k, v in enumerate(ids)}
     dataset.config.log(
         f"Indexed {len(dataset._indexes[name])} {obj} ids", prefix="  "

@@ -35,6 +35,11 @@ def get_checkpoint_file(config: Config, checkpoint_argument: str = "default"
         if config.get("job.type") in ["eval", "valid", "test"]:
             raise FileNotFoundError(f"no checkpoint found in {config.folder}")
         return None
+    if checkpoint_argument == "last":
+        epoch = config.last_checkpoint_number()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoint found in {config.folder}")
+        return config.checkpoint_file(epoch)
     return config.checkpoint_file(checkpoint_argument)
 
 

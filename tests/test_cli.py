@@ -214,3 +214,21 @@ def test_search_protocol_via_cli(tmp_path):
     assert os.path.getmtime(
         os.path.join(trials[0], "checkpoint_best.pt")
     ) == mtime, "resume retrained an already-finished trial"
+
+
+def test_checkpoint_last_flag(trained_folder):
+    """--checkpoint last resolves to the newest numbered checkpoint
+    (the CLI help promises it; no checkpoint_last.pt file exists)."""
+    r = _run(["valid", trained_folder, "--job.device", "cpu",
+              "--checkpoint", "last"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mean_reciprocal_rank" in r.stdout
+
+
+def test_unknown_cli_key_rejected(trained_folder):
+    """A typo'd --key must error, not silently create a new config key
+    (reference CLI rejects unknown keys)."""
+    r = _run(["test", trained_folder, "--job.device", "cpu",
+              "--train.batchsize", "128"])
+    assert r.returncode != 0
+    assert "batchsize" in (r.stderr + r.stdout)

@@ -169,3 +169,23 @@ def test_example_configs_build_jobs():
         )
         job = Job.create(config, dataset)
         assert job is not None, path
+
+
+def test_set_coerces_cli_bool_strings():
+    """Boolean options must accept CLI string forms — late overrides for
+    imported-module keys arrive as raw strings."""
+    config = Config()
+    assert config.set("train.auto_correct", "True") is True
+    assert config.set("train.auto_correct", "false") is False
+    assert config.set("train.auto_correct", "1") is True
+    with pytest.raises(ValueError):
+        config.set("train.auto_correct", "not-a-bool")
+
+
+def test_deprecated_key_in_bare_config_does_not_crash():
+    """Config objects without defaults (built during module import) must
+    survive deprecated-key rewriting — Config.log reads console.quiet,
+    which such configs lack."""
+    config = Config(load_default=False)
+    config.load_options({"train": {"optimizer": "Adam"}}, create=True)
+    assert config.get("train.optimizer.default.type") == "Adam"

@@ -140,3 +140,33 @@ def test_native_triple_loader_rejects_malformed(tmp_path):
         f.write("1\t2\t3\n1\tnot_an_int\t3\n")
     with _pytest.raises(RuntimeError):
         load_triples_native(path)
+
+
+def test_id_inversion_maps_external_ids():
+    """entity/relation_id_to_index must key on EXTERNAL id strings (it
+    previously built an identity int->int map by enumerating the dict
+    form of the id map)."""
+    from tests.util import create_config, get_dataset_folder
+    from kge_tpu import Dataset
+
+    config = create_config("dataset_test")
+    dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+    inv = dataset.index("entity_id_to_index")
+    ids = dataset.entity_ids()
+    assert len(inv) == dataset.num_entities()
+    for dense, ext in enumerate(ids):
+        assert inv[ext] == dense
+    assert not any(isinstance(k, int) for k in inv)
+
+
+def test_kvsall_index_over_empty_split():
+    """Lookups against an index built from an EMPTY split must return
+    zero counts, not crash (hit via eval filter splits that are empty)."""
+    import numpy as np
+    from kge_tpu.indexing import KvsAllIndex
+
+    idx = KvsAllIndex(np.zeros((0, 3), dtype=np.int32), [0, 1], 2)
+    rows, values = idx.get_all_coords(np.asarray([[1, 2], [0, 0]]))
+    assert len(rows) == 0 and len(values) == 0
+    counts = idx.counts_for(np.asarray([[1, 2]]))
+    assert counts.tolist() == [0]
