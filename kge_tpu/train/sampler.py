@@ -14,6 +14,14 @@ arrays so the compiled train step never re-specializes:
   column map, so the step scores the unique set once ([B, num+1] matmul)
   and gathers per-row columns — the same trick as the reference's
   shared-batch fast path, in static shapes.
+
+For uniform shared sampling the draw itself is also expressible in
+fixed shapes, so it can run *inside the jitted step*
+(``device_shared_sample``): the train loop then ships only positive
+triple indices per batch (``tpu.on_device_sampling``) — the remote-
+attached dispatch payload drops from ~1 MB to ~128 KB per 32-step
+group, which is the difference between the slow and the fast transfer
+path of the tunnel transport.
 """
 
 from __future__ import annotations
@@ -130,6 +138,70 @@ class BatchNegativeSample:
         if self._negatives is not None:
             return self._negatives
         return self.unique[self.gather]
+
+
+def device_shared_sample(key, num: int, voc: int, naive: bool,
+                         with_replacement: bool, positives):
+    """Uniform shared sampling drawn ON DEVICE, in the exact factored
+    form the fused train step consumes: ``(unique[num+1], base[num+1],
+    num_unique, drop[B])`` with the same distribution and padding
+    conventions as the host path (``KgeUniformSampler._sample_shared``,
+    reference semantics kge/util/sampler.py:597-698):
+
+    - with replacement, the number of DISTINCT values in the row's
+      sample is drawn first (count of distinct in one WR draw over the
+      base vocabulary), then that many uniques;
+    - the unique candidates are a uniform ordered sample without
+      replacement, realized as top-k over iid uniforms (the rank order
+      of iid uniforms is a uniform permutation, so taking the first
+      ``take`` of k=num+1 winners is exchangeable-uniform-distinct —
+      the same distribution as the host's collision-redraw draw);
+    - repeats land uniformly on the live columns (base multiplicities);
+    - 'default' sharing drops one uniformly-chosen position per row,
+      overridden to the positive's own position when the positive was
+      sampled (the reference's positive-drop trick).
+
+    All shapes are static; ``num_unique`` is traced. Requires
+    voc >= num + 1. KEEP IN LOCKSTEP with ``_sample_shared`` and
+    ``BatchNegativeSample.count_factors``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    k_nu, k_uni, k_rep, k_drop = jax.random.split(key, 4)
+    base_voc = voc if naive else voc - 1
+    if with_replacement:
+        d = jax.random.randint(k_nu, (num,), 0, base_voc)
+        ds = jnp.sort(d)
+        nu = (1 + jnp.sum(ds[1:] != ds[:-1])).astype(jnp.int32)
+    else:
+        nu = jnp.int32(num)
+    take = nu if naive else nu + 1
+    # int32 keys rather than f32 uniforms: f32 has 2^24 distinct values,
+    # so large vocabularies tie often and top_k's index tie-break would
+    # bias the boundary slot toward low ids
+    r = jax.random.bits(k_uni, (voc,), "uint32").astype(jnp.int32)
+    _, top = jax.lax.top_k(r, num + 1)
+    top = top.astype(jnp.int32)
+    idx = jnp.arange(num + 1, dtype=jnp.int32)
+    # host padding convention: positions past ``take`` repeat unique[0]
+    unique = jnp.where(idx < take, top, top[0])
+    base = (idx < nu).astype(jnp.float32)
+    if with_replacement:
+        # (num - nu) repeats, each uniform over the live columns; draw a
+        # full-size pool and mask (masked adds are zero)
+        rep = jax.random.randint(k_rep, (num,), 0, jnp.maximum(nu, 1))
+        rep_mask = (jnp.arange(num) < (num - nu)).astype(jnp.float32)
+        base = base.at[rep].add(rep_mask)
+    drop = None
+    if not naive:
+        bsz = positives.shape[0]
+        drop0 = jax.random.randint(k_drop, (bsz,), 0, nu + 1)
+        match = (unique[None, :] == positives[:, None]) & (idx[None, :] < take)
+        hit = jnp.any(match, axis=1)
+        hit_pos = jnp.argmax(match, axis=1).astype(jnp.int32)
+        drop = jnp.where(hit, hit_pos, drop0).astype(jnp.int32)
+    return unique, base, nu, drop
 
 
 class KgeSampler(Configurable):

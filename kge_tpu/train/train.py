@@ -287,6 +287,15 @@ class TrainingJob(TrainingOrEvaluationJob):
             return {"triples": batch["triples"]}
         return {}
 
+    def _expand_device_batch(self, batch: Dict[str, jnp.ndarray], rng
+                             ) -> Dict[str, jnp.ndarray]:
+        """Strategy hook: materialize batch content on device from a
+        lightweight host payload (e.g. on-device negative sampling).
+        Runs inside the jitted step, once per batch, before subbatching
+        — so, like the host collate, one draw is shared across
+        subbatches. Default: the host payload already is the batch."""
+        return batch
+
     # ------------------------------------------------------------------ compiled step
 
     def _subbatch_slices(self) -> List[slice]:
@@ -347,6 +356,7 @@ class TrainingJob(TrainingOrEvaluationJob):
         forward_only = self.is_forward_only
 
         def step(params, opt_state, model_state, batch, lrs, rng):
+            batch = self._expand_device_batch(batch, rng)
             total_loss = 0.0
             new_model_state = model_state
             if forward_only:

@@ -27,7 +27,9 @@ import numpy as np
 from kge_tpu.models import Ctx
 from kge_tpu.ops.gather import row_gather
 from kge_tpu.train.job import Job
-from kge_tpu.train.sampler import SLOT_STR, SLOTS, KgeSampler, S, P, O
+from kge_tpu.train.sampler import (
+    SLOT_STR, SLOTS, KgeSampler, KgeUniformSampler, S, P, O,
+)
 from kge_tpu.train.train import TrainingJob
 
 
@@ -317,6 +319,8 @@ class TrainingJobNegativeSampling(TrainingJob):
             self.num_examples = self.graph_sampling_size
         else:
             self.num_examples = len(self.dataset.split(self.train_split))
+        self._device_pool = None
+        self._on_device_sampling = self._resolve_on_device_sampling()
 
     def _sample_graph(self) -> np.ndarray:
         """Per-epoch subgraph sampling; returns the sampled triples and
@@ -339,11 +343,119 @@ class TrainingJobNegativeSampling(TrainingJob):
             self._train_step = None  # edge buffers changed shape
         return triples
 
+    # ------------------------------------------------------------------ on-device sampling
+
+    def _resolve_on_device_sampling(self) -> bool:
+        """Draw the shared negatives INSIDE the jitted step instead of
+        on the host (``tpu.on_device_sampling``). The epoch loop then
+        ships only [B] positive triple indices per batch — on remote-
+        attached devices the per-group payload drops below the
+        transport's fast-path threshold, making the loop device-bound.
+        Applicable to uniform shared sampling on the fused-loss path
+        (the regime of the reference's large-scale recipes)."""
+        mode = self.config.check(
+            "tpu.on_device_sampling", ["auto", "always", "never"]
+        )
+        if mode == "never":
+            return False
+        reasons = []
+        active = tuple(s for s in SLOTS if self._sampler.num_samples[s] > 0)
+        if not active:
+            reasons.append("no negative-sample slots are active")
+        if not self._sampler.shared:
+            reasons.append("negatives are not shared")
+        if type(self._sampler) is not KgeUniformSampler:
+            reasons.append("sampler is not uniform")
+        missing = [SLOT_STR[s] for s in active if s not in self._fused_slots]
+        if missing:
+            reasons.append(
+                f"slot(s) {', '.join(missing)} are not on the fused loss "
+                "path (see tpu.fused_negsamp_loss)"
+            )
+        if self._sparse_paths:
+            reasons.append("row-sparse updates uniquify realized negatives "
+                           "on the host")
+        if self.graph_sampling:
+            reasons.append("graph sampling re-derives the triple pool "
+                           "per epoch")
+        for slot in active:
+            num = int(self._sampler.num_samples[slot])
+            voc = int(self._sampler.vocabulary_size[slot])
+            if voc < num + 1:
+                reasons.append(
+                    f"vocabulary of slot {SLOT_STR[slot]} ({voc}) is "
+                    f"smaller than num_samples+1 ({num + 1})"
+                )
+        if reasons:
+            if mode == "always":
+                raise ValueError(
+                    "tpu.on_device_sampling=always is not applicable here: "
+                    + "; ".join(reasons)
+                )
+            return False
+        self.config.log(
+            "Sampling negatives on device (host ships positive indices "
+            "only)."
+        )
+        return True
+
+    def _expand_device_batch(self, batch, rng):
+        if "pos_idx" not in batch:
+            return batch
+        import jax
+
+        from kge_tpu.train.sampler import device_shared_sample
+
+        pos_idx = batch["pos_idx"]
+        triples = jnp.take(self._device_pool, pos_idx, axis=0)
+        bsz = pos_idx.shape[0]
+        # tail padding is always a suffix, so weights derive from the
+        # true size instead of riding the payload
+        weights = (
+            jnp.arange(bsz, dtype=jnp.float32) < batch["size"]
+        ).astype(jnp.float32)
+        out = {"triples": triples, "weights": weights, "size": batch["size"]}
+        # disjoint fold constants: subbatches use 0..len(slices)-1, the
+        # penalty term 7919 (train.py _make_step_fn)
+        skey = jax.random.fold_in(rng, 104729)
+        naive = self._sampler.shared_type == "naive"
+        wr = bool(self._sampler.with_replacement)
+        for slot in SLOTS:
+            num = int(self._sampler.num_samples[slot])
+            if num <= 0:
+                continue
+            unique, base, nu, drop = device_shared_sample(
+                jax.random.fold_in(skey, slot), num,
+                int(self._sampler.vocabulary_size[slot]), naive, wr,
+                triples[:, slot],
+            )
+            key = SLOT_STR[slot]
+            out[f"neg_unique_{key}"] = unique
+            out[f"neg_base_{key}"] = base
+            out[f"neg_nu_{key}"] = nu
+            if drop is not None:
+                out[f"neg_drop_{key}"] = drop
+        return out
+
     def _generate_batches(self, epoch: int):
         if self.graph_sampling:
             triples_pool = self._sample_graph()
         else:
             triples_pool = self.dataset.split(self.train_split)
+        if self._on_device_sampling:
+            if self._device_pool is None:
+                import jax
+
+                self._device_pool = jax.device_put(
+                    triples_pool.astype(np.int32), self.device
+                )
+            order = self._np_rng.permutation(
+                len(triples_pool)
+            )[: self.num_examples]
+            for idx, _, true in self._pad_batch_indexes(order):
+                yield {"pos_idx": idx.astype(np.int32),
+                       "size": np.float32(true)}
+            return
         order = self._np_rng.permutation(len(triples_pool))[: self.num_examples]
         for idx, weights, true in self._pad_batch_indexes(order):
             triples = triples_pool[idx].astype(np.int32)
