@@ -20,6 +20,9 @@ def measure_steps(job, steps: int = 32, distinct_batches: int = 8):
     import jax
     import jax.numpy as jnp
 
+    if getattr(job, "_sparse_split", False):
+        return _measure_pipelined_steps(job, steps, distinct_batches)
+
     step_fn = job._make_step_fn()
     gen = job._generate_batches(1)
     batch_list = [next(gen) for _ in range(distinct_batches)]
@@ -64,5 +67,46 @@ def measure_steps(job, steps: int = 32, distinct_batches: int = 8):
     )
     final_loss = float(loss)  # forces execution + transfer of one scalar
     elapsed = time.perf_counter() - t0
+    job.params, job.opt_state, job.model_state = params, opt_state, state
+    return elapsed / steps, final_loss
+
+
+def _measure_pipelined_steps(job, steps: int, distinct_batches: int):
+    """Pipelined split-sparse steps (two programs per step) cannot scan
+    into one compiled dispatch; time the real host loop instead. The
+    final scalar fetch forces the whole dependency chain, so
+    ``elapsed / steps`` is an honest per-step bound that INCLUDES the
+    per-step dispatch overhead a user pays."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    step = job._build_train_step()
+    gen = job._generate_batches(1)
+    dev_batches = [
+        {k: jnp.asarray(v) for k, v in next(gen).items()}
+        for _ in range(distinct_batches)
+    ]
+    lrs = {g: jnp.asarray(b, dtype=jnp.float32)
+           for g, b in job.optimizer.base_lrs.items()}
+    rng = jax.random.PRNGKey(7)
+    params, opt_state, state = job.params, job.opt_state, job.model_state
+    # warmup compiles all three programs (gather, loss, update+gather)
+    for i in range(2):
+        params, opt_state, state, metrics = step(
+            params, opt_state, state, dev_batches[i % distinct_batches],
+            lrs, jax.random.fold_in(rng, i),
+        )
+    float(metrics["avg_loss"])
+    t0 = _time.perf_counter()
+    for i in range(steps):
+        params, opt_state, state, metrics = step(
+            params, opt_state, state, dev_batches[i % distinct_batches],
+            lrs, jax.random.fold_in(rng, 2 + i),
+        )
+    final_loss = float(metrics["avg_loss"])  # forces the chain
+    elapsed = _time.perf_counter() - t0
+    params, opt_state = step.flush_pipeline(params, opt_state, lrs)
     job.params, job.opt_state, job.model_state = params, opt_state, state
     return elapsed / steps, final_loss

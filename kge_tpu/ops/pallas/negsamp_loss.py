@@ -149,6 +149,47 @@ def _bwd(interpret, res, g):
 shared_ce_loss.defvjp(_fwd, _bwd)
 
 
+def shared_ce_loss_sharded(q, cand, pos, counts, w, mesh, interpret=False):
+    """``shared_ce_loss`` under a device mesh: rows shard over 'data',
+    the (small) unique-candidate block replicates, and the per-shard
+    partial row sums psum into the full loss. Mirrors the fused eval
+    path's shard_map treatment (evaluation/entity_ranking.py) so
+    multi-chip training keeps the fused kernel instead of falling back
+    to the ~80-kernel XLA chain.
+
+    The batch pads up to a multiple of the 'data' axis; padded rows have
+    zero weight and all-zero count rows, which contribute exactly 0 to
+    the loss (lse == pos == 0 there)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    data = mesh.shape.get("data", 1)
+    B = q.shape[0]
+    Bp = -(-B // data) * data
+    if Bp != B:
+        q = jnp.zeros((Bp, q.shape[1]), q.dtype).at[:B].set(q)
+        pos = jnp.zeros((Bp,), pos.dtype).at[:B].set(pos)
+        counts = jnp.zeros(
+            (Bp, counts.shape[1]), counts.dtype
+        ).at[:B].set(counts)
+        w = jnp.zeros((Bp,), w.dtype).at[:B].set(w)
+
+    def local(qs, cand_full, ps, cs, ws):
+        part = shared_ce_loss(qs, cand_full, ps, cs, ws, interpret)
+        return jax.lax.psum(part, "data")
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P(None, None), P("data"),
+                  P("data", None), P("data")),
+        out_specs=P(),
+        # pallas_call's out_shape carries no varying-mesh-axes
+        # annotation, so the vma check cannot see through it (same
+        # waiver as the fused sharded eval path)
+        check_vma=False,
+    )(q, cand, pos, counts, w)
+
+
 def shared_ce_loss_xla(q, cand, pos, counts, w):
     """Pure-XLA count-form reference (and CPU fallback)."""
     scores = q.astype(jnp.float32) @ cand.astype(jnp.float32).T

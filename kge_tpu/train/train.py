@@ -645,6 +645,13 @@ class TrainingJob(TrainingOrEvaluationJob):
                 f(self)
         if buffered:
             flush(buffered, num_batches - len(buffered))
+        if hasattr(self._train_step, "flush_pipeline"):
+            # pipelined steps (split row-sparse updates) defer the last
+            # batch's table update; apply it before anything (validation,
+            # checkpointing) observes the parameters
+            self.params, self.opt_state = self._train_step.flush_pipeline(
+                self.params, self.opt_state, lrs
+            )
 
         # single device sync for the whole epoch (one bulk transfer; a
         # per-scalar float() would pay a dispatch round trip per metric)

@@ -58,6 +58,7 @@ class TrainingJobNegativeSampling(TrainingJob):
         gradients and optimizer state touch only those rows. Required at
         Wikidata5M-scale vocabularies where dense [V, D] updates dominate
         the step."""
+        self._sparse_split = False
         config = self.config
         # canonical values are YAML-safe (unquoted on/off parse as YAML
         # booleans); accept legacy aliases
@@ -114,25 +115,23 @@ class TrainingJobNegativeSampling(TrainingJob):
                     f"({self.dataset.num_entities()} rows vs ~{ent_rows} "
                     "touched per batch)"
                 )
-            else:
-                # observed v5e backend fault when the fused loss+row-scatter
-                # program touches a single table buffer over ~1 GiB (the
-                # split phases each run fine); re-verified still faulting
-                # on jaxlib 0.9.0 (worker crash at V=2.5M, dim 128); cap
-                # auto until resolved -- vocab sharding (tpu.mesh.model)
-                # divides the per-shard buffer under the cap, which is
-                # the designed escape at Wikidata scale (boundary
-                # behavior pinned by tests/test_sparse_updates.py)
-                dim = self.model.get_s_embedder().dim
-                e_pad = self.model.get_s_embedder().padded_vocab_size
-                shards = self.mesh.shape["model"] if self.mesh else 1
-                limit = int(config.get("tpu.sparse_scatter_limit_bytes"))
-                if e_pad * dim * 4 // shards > limit:
-                    reasons.append(
-                        "entity table shard exceeds the verified "
-                        f"{limit}-byte single-buffer limit for fused row "
-                        "scatters"
-                    )
+        if not reasons:
+            # observed v5e backend fault when the FUSED loss+row-scatter
+            # program touches a single table buffer over ~1 GiB (worker
+            # crash at V=2.5M, dim 128, re-verified on jaxlib 0.9.0). The
+            # split phases each run fine, so past the cap the step runs as
+            # TWO compiled programs — a gather/loss/grad phase and a
+            # donated-buffer scatter phase (_build_split_sparse_step);
+            # below it the single fused program is kept (one dispatch,
+            # scannable under grouped dispatch). Vocab sharding
+            # (tpu.mesh.model) divides the per-shard buffer, re-enabling
+            # the fused form at scale (tests/test_sparse_updates.py).
+            dim = self.model.get_s_embedder().dim
+            e_pad = self.model.get_s_embedder().padded_vocab_size
+            shards = self.mesh.shape["model"] if self.mesh else 1
+            limit = int(config.get("tpu.sparse_scatter_limit_bytes"))
+            if e_pad * dim * 4 // shards > limit:
+                self._sparse_split = True
         if reasons:
             if mode == "always":
                 raise ValueError(
@@ -176,73 +175,103 @@ class TrainingJobNegativeSampling(TrainingJob):
                 ent_rows += extra
         return ent_rows, rel_rows
 
-    def _make_step_fn(self):
-        if not self._sparse_paths:
-            return super()._make_step_fn()
+    def _sparse_loss_grads(self, rows_e, rows_r, aux_params, model_state,
+                           batch, rng):
+        """Loss + gradients of the row-sparse step, expressed over the
+        GATHERED rows (shared by the single-program step, which gathers
+        in the same trace, and the pipelined split step, where the rows
+        arrive from the previous update program). Returns (grads dict
+        with rows_e/rows_r/rest, new_model_state, metrics)."""
         import jax
 
         model = self.model
-        optimizer = self.optimizer
         batch_size = self.batch_size
+        batch2 = {k: v for k, v in batch.items()
+                  if k not in ("uniq_e", "uniq_r")}
+        rest = {
+            k: v for k, v in aux_params.items()
+            if k not in ("entity_embedder", "relation_embedder")
+        }
+        diff0 = {"rows_e": rows_e, "rows_r": rows_r, "rest": rest}
 
-        def step(params, opt_state, model_state, batch, lrs, rng):
-            # batch indices arrive pre-remapped to row positions; the
-            # sorted unique id vectors ship alongside (host collate,
-            # _add_row_index_payload)
-            uniq_e = batch["uniq_e"]
-            uniq_r = batch["uniq_r"]
-            batch2 = {k: v for k, v in batch.items()
-                      if k not in ("uniq_e", "uniq_r")}
-
-            table_e = params["entity_embedder"]["weights"]
-            table_r = params["relation_embedder"]["weights"]
-            rest = {
-                k: v for k, v in params.items()
-                if k not in ("entity_embedder", "relation_embedder")
+        def loss_fn(diff):
+            params2 = {
+                **diff["rest"],
+                "entity_embedder": {
+                    **{k: v for k, v in aux_params["entity_embedder"].items()
+                       if k != "weights"},
+                    "weights": diff["rows_e"],
+                },
+                "relation_embedder": {
+                    **{k: v
+                       for k, v in aux_params["relation_embedder"].items()
+                       if k != "weights"},
+                    "weights": diff["rows_r"],
+                },
             }
-            diff0 = {
-                "rows_e": jnp.take(table_e, uniq_e, axis=0),
-                "rows_r": jnp.take(table_r, uniq_r, axis=0),
-                "rest": rest,
-            }
+            ctx = Ctx(train=True, rng=jax.random.fold_in(rng, 0),
+                      state=model_state)
+            loss = self._subbatch_loss(
+                params2, ctx, batch2, slice(0, batch_size)
+            )
+            terms = model.penalties(
+                params2, ctx, batch={"triples": batch2["triples"]}
+            )
+            penalty = 0.0
+            for _, v in terms:
+                penalty = penalty + v
+            return loss + penalty, (ctx.updates, loss, penalty, dict(terms))
 
-            def loss_fn(diff):
-                params2 = {
-                    **diff["rest"],
-                    "entity_embedder": {
-                        **params["entity_embedder"], "weights": diff["rows_e"]
-                    },
-                    "relation_embedder": {
-                        **params["relation_embedder"], "weights": diff["rows_r"]
-                    },
+        (_, (updates, loss_value, penalty_total, penalty_dict)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(diff0)
+        )
+        new_model_state = (
+            {**model_state, **updates} if updates else model_state
+        )
+        metrics = {
+            "avg_loss": loss_value,
+            "avg_penalty": penalty_total,
+            "avg_cost": loss_value + penalty_total,
+            **{f"avg_penalty_{k}": v for k, v in penalty_dict.items()},
+        }
+        return grads, new_model_state, metrics
+
+    def _sparse_update_fn(self, gather_next: bool):
+        """Update phase of the row-sparse step: dense optimizer update
+        for non-table leaves, row-wise Adagrad/SGD scatter for the
+        tables. Contains NO model forward — past the 1 GiB fused
+        scatter-fault cap it compiles as its own program with donated
+        table buffers. With ``gather_next`` it ALSO gathers the next
+        batch's rows from the just-updated tables: the big buffers are
+        then touched by exactly one (donated) program per step, which is
+        what keeps the scatters in place — a read-only dispatch pending
+        on a buffer at donation time forces the runtime to copy the
+        whole table (measured ~10 ms per 2.3 GiB table per step on v5e,
+        vs 0.07 ms for the fused update+gather program)."""
+        import jax
+
+        optimizer = self.optimizer
+
+        def apply_phase(params, opt_state, uniq_e, uniq_r, grads, lrs):
+            # dense update for non-table leaves; tables pass through.
+            # The table leaves are "__sparse__"-labeled (optax
+            # set_to_zero ignores their gradient VALUES entirely), so
+            # scalar placeholders stand in for [V, D] zeros — a
+            # zeros_like of a 2.3 GiB table inside the scatter program
+            # is exactly the kind of whole-table buffer the v5e backend
+            # fault is triggered by (tpu.sparse_scatter_limit_bytes)
+            def placeholder(subtree):
+                return {
+                    k: (jnp.zeros(()) if k == "weights"
+                        else jnp.zeros_like(v))
+                    for k, v in subtree.items()
                 }
-                ctx = Ctx(train=True, rng=jax.random.fold_in(rng, 0),
-                          state=model_state)
-                loss = self._subbatch_loss(
-                    params2, ctx, batch2, slice(0, batch_size)
-                )
-                terms = model.penalties(
-                    params2, ctx, batch={"triples": batch2["triples"]}
-                )
-                penalty = 0.0
-                for _, v in terms:
-                    penalty = penalty + v
-                return loss + penalty, (ctx.updates, loss, penalty, dict(terms))
 
-            (_, (updates, loss_value, penalty_total, penalty_dict)), grads = (
-                jax.value_and_grad(loss_fn, has_aux=True)(diff0)
-            )
-            new_model_state = (
-                {**model_state, **updates} if updates else model_state
-            )
-            # dense update for non-table leaves; tables pass through
             dense_grads = {
                 **grads["rest"],
-                "entity_embedder": jax.tree_util.tree_map(
-                    jnp.zeros_like, params["entity_embedder"]
-                ),
-                "relation_embedder": jax.tree_util.tree_map(
-                    jnp.zeros_like, params["relation_embedder"]
+                "entity_embedder": placeholder(params["entity_embedder"]),
+                "relation_embedder": placeholder(
+                    params["relation_embedder"]
                 ),
             }
             new_params, new_opt_state = optimizer.apply_updates(
@@ -273,15 +302,142 @@ class TrainingJobNegativeSampling(TrainingJob):
                 },
             }
             new_opt_state = {**new_opt_state, "sparse": sparse_state}
-            metrics = {
-                "avg_loss": loss_value,
-                "avg_penalty": penalty_total,
-                "avg_cost": loss_value + penalty_total,
-                **{f"avg_penalty_{k}": v for k, v in penalty_dict.items()},
-            }
+            return new_params, new_opt_state
+
+        if not gather_next:
+            return apply_phase
+
+        def apply_and_gather(params, opt_state, uniq_e, uniq_r, grads,
+                             next_uniq_e, next_uniq_r, lrs):
+            new_params, new_opt_state = apply_phase(
+                params, opt_state, uniq_e, uniq_r, grads, lrs
+            )
+            rows_e = jnp.take(
+                new_params["entity_embedder"]["weights"], next_uniq_e, axis=0
+            )
+            rows_r = jnp.take(
+                new_params["relation_embedder"]["weights"], next_uniq_r,
+                axis=0,
+            )
+            return new_params, new_opt_state, rows_e, rows_r
+
+        return apply_and_gather
+
+    def _make_step_fn(self):
+        if not self._sparse_paths:
+            return super()._make_step_fn()
+        apply_phase = self._sparse_update_fn(gather_next=False)
+
+        def step(params, opt_state, model_state, batch, lrs, rng):
+            uniq_e, uniq_r = batch["uniq_e"], batch["uniq_r"]
+            rows_e = jnp.take(
+                params["entity_embedder"]["weights"], uniq_e, axis=0
+            )
+            rows_r = jnp.take(
+                params["relation_embedder"]["weights"], uniq_r, axis=0
+            )
+            grads, new_model_state, metrics = self._sparse_loss_grads(
+                rows_e, rows_r, params, model_state, batch, rng
+            )
+            new_params, new_opt_state = apply_phase(
+                params, opt_state, uniq_e, uniq_r, grads, lrs
+            )
             return new_params, new_opt_state, new_model_state, metrics
 
         return step
+
+    def _build_train_step(self):
+        if not (self._sparse_paths and self._sparse_split):
+            return super()._build_train_step()
+        import jax
+
+        # Past the fused scatter-fault cap the step runs PIPELINED over
+        # two compiled programs, arranged so the big table buffers are
+        # touched by exactly one (donated) program per step:
+        #
+        #   update_j(i-1): scatter batch i-1's row updates into the
+        #                  donated tables AND gather batch i's rows from
+        #                  the result
+        #   loss_j(i):     forward/backward over batch i's GATHERED rows
+        #                  only (never sees the tables)
+        #
+        # The update for the LAST batch of an epoch is flushed by
+        # ``step.flush_pipeline`` (train.py calls it after the batch
+        # loop), so params are fully up to date before validation /
+        # checkpointing. Metrics are exact per batch (loss_j(i) runs on
+        # parameters with all updates < i applied — the same sequential
+        # semantics as the single-program step).
+        donate = bool(self.config.get("tpu.donate_buffers"))
+        loss_j = jax.jit(self._sparse_loss_grads)
+        update_j = jax.jit(
+            self._sparse_update_fn(gather_next=True),
+            donate_argnums=(0, 1) if donate else (),
+        )
+        flush_j = jax.jit(
+            self._sparse_update_fn(gather_next=False),
+            donate_argnums=(0, 1) if donate else (),
+        )
+
+        def gather_fn(table_e, table_r, uniq_e, uniq_r):
+            return (jnp.take(table_e, uniq_e, axis=0),
+                    jnp.take(table_r, uniq_r, axis=0))
+
+        gather_j = jax.jit(gather_fn)
+        self.config.log(
+            "Row-sparse updates run as pipelined split phases (table "
+            "shard over tpu.sparse_scatter_limit_bytes): loss program "
+            "over gathered rows + donated update+gather program."
+        )
+        pending = {}
+
+        def strip_tables(params):
+            return {
+                k: (
+                    {kk: vv for kk, vv in v.items() if kk != "weights"}
+                    if k in ("entity_embedder", "relation_embedder")
+                    else v
+                )
+                for k, v in params.items()
+            }
+
+        def step(params, opt_state, model_state, batch, lrs, rng):
+            uniq_e, uniq_r = batch["uniq_e"], batch["uniq_r"]
+            if "update" in pending:
+                p_uniq_e, p_uniq_r, p_grads = pending.pop("update")
+                params, opt_state, rows_e, rows_r = update_j(
+                    params, opt_state, p_uniq_e, p_uniq_r, p_grads,
+                    uniq_e, uniq_r, lrs,
+                )
+            else:  # first batch of the epoch: plain gather
+                rows_e, rows_r = gather_j(
+                    params["entity_embedder"]["weights"],
+                    params["relation_embedder"]["weights"],
+                    uniq_e, uniq_r,
+                )
+            grads, new_model_state, metrics = loss_j(
+                rows_e, rows_r, strip_tables(params), model_state, batch,
+                rng,
+            )
+            pending["update"] = (uniq_e, uniq_r, grads)
+            return params, opt_state, new_model_state, metrics
+
+        def flush_pipeline(params, opt_state, lrs):
+            if "update" in pending:
+                p_uniq_e, p_uniq_r, p_grads = pending.pop("update")
+                params, opt_state = flush_j(
+                    params, opt_state, p_uniq_e, p_uniq_r, p_grads, lrs
+                )
+            return params, opt_state
+
+        step.flush_pipeline = flush_pipeline
+        step.split_phases = {"gather": gather_j, "loss": loss_j,
+                             "update": update_j, "flush": flush_j}
+        return step
+
+    def _steps_per_dispatch(self) -> int:
+        if self._sparse_paths and self._sparse_split:
+            return 1  # pipelined two-program steps cannot scan
+        return super()._steps_per_dispatch()
 
     def _prepare(self):
         self._implementation = self.config.check(
@@ -575,9 +731,6 @@ class TrainingJobNegativeSampling(TrainingJob):
         elif getattr(m, "dot_score_space", lambda: "native")() != "native":
             reasons.append("dot form is a monotone transform, not the "
                            "native score")
-        if self.mesh is not None:
-            reasons.append("mesh sharding active (pallas_call has no SPMD "
-                           "partitioning rule)")
         if mode == "auto" and jax.default_backend() == "cpu":
             reasons.append("CPU backend (interpret mode is slower than XLA)")
         if reasons:
@@ -600,9 +753,12 @@ class TrainingJobNegativeSampling(TrainingJob):
     def _fused_loss(self, params, ctx: Ctx, triples, weights, batch, sl,
                     slots) -> jnp.ndarray:
         import jax
-        from kge_tpu.ops.pallas.negsamp_loss import shared_ce_loss
+        from kge_tpu.ops.pallas.negsamp_loss import (
+            shared_ce_loss, shared_ce_loss_sharded,
+        )
 
         interpret = jax.default_backend() == "cpu"
+        mesh = self.mesh
         s, p, o = triples[:, 0], triples[:, 1], triples[:, 2]
         q_sp, q_po = self.model.dot_queries(params, s, p, o, ctx=ctx)
         total = 0.0
@@ -649,9 +805,14 @@ class TrainingJobNegativeSampling(TrainingJob):
                     params, s, ctx=ctx, sides=("po",)
                 )
             pos = jnp.sum(q * pos_cand, axis=1)
-            total = total + shared_ce_loss(
-                q, cand, pos, counts, weights, interpret
-            )
+            if mesh is not None:
+                total = total + shared_ce_loss_sharded(
+                    q, cand, pos, counts, weights, mesh, interpret
+                )
+            else:
+                total = total + shared_ce_loss(
+                    q, cand, pos, counts, weights, interpret
+                )
         return total
 
     # ------------------------------------------------------------------ scoring

@@ -840,3 +840,182 @@ def test_drilldown_metric_parity(ref, dataset_folder, tmp_path):
             ref_trace[k], trace[k], rtol=1e-4, atol=1e-6,
             err_msg=f"drilldown metric {k} diverges",
         )
+
+
+TRAJECTORY_CASES = [
+    # (model, overrides, strict_eval)
+    ("complex", {}, True),
+    (
+        # GNN preset with NO batch norm (TorchRgcnLayer,
+        # rgnn_encoder.py:600): every parameter has a real gradient, so
+        # the Adagrad trajectory is fully provable, including the final
+        # eval metrics. Edge/self-edge dropouts pinned to 0 (the
+        # reference applies them unconditionally, even in eval).
+        "rgcn",
+        {
+            "rgcn.entity_embedder.dim": DIM,
+            "rgcn.relation_embedder.dim": DIM,
+            "rgcn.encoder.use_stale_embeddings": False,
+            "rgcn.encoder.num_blocks_or_bases": 4,
+            "rgcn.encoder.edge_dropout": 0.0,
+            "rgcn.encoder.self_edge_dropout": 0.0,
+        },
+        True,
+    ),
+    (
+        # CompGCN: loss-trajectory-only case. Its MessagePassingLayer
+        # batch norm (unconditional in the reference,
+        # rgnn_encoder.py:226) makes exact EVAL parity unprovable under
+        # Adagrad for two structural reasons measured in round 4:
+        # (a) loop_rel (and any weight direction that only shifts
+        #     pre-BN statistics) is gradient-dead — BN removes constant
+        #     shifts — so its computed gradient is fp noise (~1e-7 on
+        #     BOTH frameworks) and Adagrad amplifies noise into +-lr
+        #     sign steps: an independent random walk on each side.
+        #     loop_rel itself is frozen below via an lr-0 regex
+        #     optimizer group (which also pins the group mechanism,
+        #     reference optimizer.py:28-96), but the *directional*
+        #     null space of BN cannot be frozen per-parameter.
+        # (b) the reference updates BN RUNNING stats once per nn.Module
+        #     forward — 4x per step here, because stale_embeddings=False
+        #     recomputes the encoder per score call — while our design
+        #     computes the encoder once per step; the EMA application
+        #     count differs, so eval-time running stats differ by
+        #     construction (trained WEIGHTS still match to ~1e-5).
+        # The per-epoch loss trajectory (what Adagrad actually
+        # optimizes) is asserted tightly; final-eval equality is
+        # asserted by the rgcn case above.
+        "compgcn",
+        {
+            "compgcn.encoder.use_stale_embeddings": False,
+            "compgcn.encoder.emb_entity_dropout": 0.0,
+            "compgcn.decoder.model": "distmult",
+            "compgcn.decoder.type": "distmult",
+            "compgcn.decoder.scorer": "DistMultScorer",
+            "compgcn.decoder.base_model.entity_embedder.dim": DIM,
+            "compgcn.decoder.base_model.relation_embedder.dim": DIM,
+            "train.optimizer.loop_rel.regex": ".*loop_rel",
+            "train.optimizer.loop_rel.args.lr": 0.0,
+        },
+        False,
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "model_name,overrides,strict_eval", TRAJECTORY_CASES,
+    ids=["complex", "rgcn", "compgcn"])
+def test_training_trajectory_parity(ref, dataset_folder, tmp_path,
+                                    model_name, overrides, strict_eval,
+                                    monkeypatch):
+    """N epochs of OUR Adagrad and the REFERENCE's Adagrad land on the
+    same loss trajectory and the same valid filtered MRR from the same
+    init and pinned batches — the in-environment stand-in for published
+    FB15k-237 MRR parity (reference kge/job/train.py:139-254 epoch loop
+    + kge/util/optimizer.py:9-96 optimizer construction).
+
+    Pinning: batch_size == |train| (ONE batch per epoch, so shuffling
+    cannot reorder the gradient sum), deterministic negatives on both
+    sides (same monkeypatch as the loss-parity test), dropouts 0, no LR
+    scheduler. Identical init via the LibKGE import mapping (the
+    reference's init state_dict is snapshotted BEFORE it trains).
+    ``strict_eval=False`` cases assert the loss trajectory only — see
+    the CompGCN entry for why BN makes its eval unprovable."""
+    import jax
+    import jax.numpy as jnp
+    from kge_tpu.evaluation.eval import EvaluationJob
+    from kge_tpu.train.train import TrainingJob
+    from kge_tpu.utils.import_libkge import apply_reference_state_dict
+    import kge_tpu.train.sampler as our_sampler_mod
+
+    torch = ref.torch
+    epochs = 20
+    extra = [
+        ("train.type", "negative_sampling"),
+        ("train.batch_size", 240),  # == len(train): one batch per epoch
+        ("train.max_epochs", epochs),
+        ("train.loss", "kl"),
+        ("negative_sampling.num_samples.s", 4),
+        ("negative_sampling.num_samples.o", 6),
+        ("train.optimizer.default.type", "Adagrad"),
+        ("train.optimizer.default.args.lr", 0.1),
+        ("valid.every", 0),
+        ("eval.split", "valid"),
+    ]
+
+    def ref_fake_sample(self, positive_triples, slot, num_samples):
+        neg = _deterministic_negatives_np(
+            positive_triples.numpy(), slot, num_samples,
+            int(self.vocabulary_size[slot]),
+        )
+        return torch.from_numpy(neg)
+
+    def our_fake_sample(self, positive_triples, slot, num_samples):
+        return _deterministic_negatives_np(
+            positive_triples, slot, num_samples,
+            int(self.vocabulary_size[slot]),
+        )
+
+    monkeypatch.setattr(
+        ref.sampler_mod.KgeUniformSampler, "_sample", ref_fake_sample
+    )
+    monkeypatch.setattr(
+        our_sampler_mod.KgeUniformSampler, "_sample", our_fake_sample
+    )
+
+    # ---- reference side: real torch TrainingJob, N epochs
+    from kge.job import TrainingJob as RefTrainingJob
+
+    ref_cfg, ref_ds, ref_model = make_ref_model(
+        ref, dataset_folder, tmp_path, model_name, overrides,
+        extra_config=extra,
+    )
+    init_sd = {k: v.detach().cpu().numpy().copy()
+               for k, v in ref_model.state_dict().items()}
+    ref_job = RefTrainingJob.create(ref_cfg, ref_ds, model=ref_model)
+    ref_losses = []
+    ref_job.post_epoch_hooks.append(
+        lambda j: ref_losses.append(j.current_trace["epoch"]["avg_loss"])
+    )
+    ref_job.run()
+    ref_model.eval()
+    ref_eval = ref.EvaluationJob.create(ref_cfg, ref_ds, model=ref_model)
+    ref_trace = ref_eval.run()
+
+    # ---- our side: same init (imported snapshot), same pinned batches
+    cfg, ds, model, params = make_our_model(
+        dataset_folder, model_name, overrides, extra_config=extra
+    )
+    state = model.init_state()
+    apply_reference_state_dict(model, params, state, init_sd)
+    job = TrainingJob.create(cfg, ds, model=model)
+    job.params = jax.tree_util.tree_map(jnp.asarray, params)
+    job.model_state = jax.tree_util.tree_map(jnp.asarray, state)
+    our_losses = []
+    job.post_epoch_hooks.append(
+        lambda j: our_losses.append(
+            float(j.current_trace["epoch"]["avg_loss"])
+        )
+    )
+    job.run()
+
+    assert len(ref_losses) == epochs and len(our_losses) == epochs
+    np.testing.assert_allclose(
+        np.asarray(ref_losses), np.asarray(our_losses), rtol=2e-3,
+        err_msg=f"{model_name} per-epoch training losses diverge from the "
+                "reference's Adagrad trajectory",
+    )
+
+    if not strict_eval:
+        return
+    eval_cfg = cfg.clone()
+    eval_cfg.set("job.type", "eval")
+    eval_job = EvaluationJob.create(eval_cfg, ds, model=model)
+    eval_job.set_params(job.params, job.model_state)
+    trace = eval_job.run()
+    for key in EVAL_KEYS:
+        np.testing.assert_allclose(
+            ref_trace[key], trace[key], rtol=1e-4, atol=1e-6,
+            err_msg=f"{model_name} post-training eval metric {key} "
+                    "diverges from the reference",
+        )

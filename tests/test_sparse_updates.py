@@ -131,13 +131,57 @@ def test_sparse_under_mesh_matches_dense_single_device():
     np.testing.assert_allclose(tables[0], tables[1], atol=1e-5)
 
 
+def test_split_phase_sparse_matches_dense():
+    """Past the scatter-limit cap, sparse updates run as PIPELINED split
+    phases (loss program over gathered rows + donated update+gather
+    program; the last batch's update flushes at epoch end). The
+    trajectory must be identical to the dense path and to the fused
+    single-program sparse path — same math, different program
+    boundaries. Multi-epoch so the flush/re-gather seam at epoch
+    boundaries is exercised."""
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+
+    def run(sparse, limit):
+        config = create_config("toy", model="complex")
+        config.set("console.quiet", True)
+        config.set("lookup_embedder.dim", 16)
+        config.set("train.type", "negative_sampling")
+        config.set("negative_sampling.num_samples.s", 5)
+        config.set("negative_sampling.num_samples.o", 7)
+        config.set("train.batch_size", 32)
+        config.set("train.max_epochs", 3)
+        config.set("valid.every", 0)
+        config.set("random_seed.default", 11)
+        config.set("train.optimizer.default.args.lr", 0.1, create=True)
+        config.set("tpu.sparse_updates", sparse)
+        config.set("tpu.sparse_scatter_limit_bytes", limit)
+        dataset = Dataset.create(config)
+        job = TrainingJob.create(config, dataset)
+        job.run()
+        return job
+
+    dense = run("never", 1 << 30)
+    fused = run("always", 1 << 30)
+    split = run("always", 1024)  # toy table (> 1 KiB) forces split mode
+    assert not fused._sparse_split
+    assert split._sparse_split
+    assert split._sparse_paths == (
+        "entity_embedder.weights", "relation_embedder.weights"
+    )
+    assert split._steps_per_dispatch() == 1
+    for ref_job in (dense, fused):
+        for r, s in zip(_tables(ref_job), _tables(split)):
+            np.testing.assert_allclose(r, s, atol=5e-6)
+
+
 def test_vocab_sharding_escapes_scatter_limit():
-    """The auto heuristic must refuse sparse updates when the unsharded
-    entity table exceeds the scatter-limit cap, and activate them when
-    vocab sharding (tpu.mesh.model) brings each shard under it — the
-    designed escape from the v5e 1 GiB fused-scatter fault, exercised
-    here at a scaled-down cap. The sharded sparse run must also match
-    the dense single-device trajectory."""
+    """Over the scatter-limit cap the auto heuristic keeps sparse
+    updates but switches to pipelined split phases; vocab sharding
+    (tpu.mesh.model) that brings each shard under the cap restores the
+    fused single-program form. Both escapes from the v5e 1 GiB
+    fused-scatter fault must match the dense single-device
+    trajectory (exercised here at a scaled-down cap)."""
     from kge_tpu import Dataset
     from kge_tpu.train.train import TrainingJob
 
@@ -178,16 +222,22 @@ def test_vocab_sharding_escapes_scatter_limit():
         return job
 
     # unsharded: padded 900-entity table (16 dims, f32) > 30000 bytes
+    # -> sparse stays on, in pipelined split-phase form
     job = run((1, 1))
-    assert job._sparse_paths == ()
-    # model=2 mesh: each vocab shard is under the cap -> auto activates
+    assert job._sparse_paths == (
+        "entity_embedder.weights", "relation_embedder.weights"
+    )
+    assert job._sparse_split
+    # model=2 mesh: each vocab shard is under the cap -> fused form
     sharded = run((4, 2))
     assert sharded._sparse_paths == (
         "entity_embedder.weights", "relation_embedder.weights"
     )
+    assert not sharded._sparse_split
     dense = run((1, 1), sparse="never", limit=1 << 30)
-    np.testing.assert_allclose(
-        np.asarray(sharded.params["entity_embedder"]["weights"])[:900],
-        np.asarray(dense.params["entity_embedder"]["weights"])[:900],
-        atol=1e-5,
-    )
+    for other in (job, sharded):
+        np.testing.assert_allclose(
+            np.asarray(other.params["entity_embedder"]["weights"])[:900],
+            np.asarray(dense.params["entity_embedder"]["weights"])[:900],
+            atol=1e-5,
+        )
