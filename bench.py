@@ -84,7 +84,10 @@ def bench_negsamp(num_entities, num_relations, num_triples, steps,
     """(sec_per_step, roofline dict) for one NegSamp training shape."""
     from kge_tpu.train.train import TrainingJob
     from harness import measure_steps
-    from roofline import negsamp_step_bytes, negsamp_step_flops, roofline
+    from roofline import (
+        negsamp_sparse_step_bytes, negsamp_step_bytes, negsamp_step_flops,
+        roofline,
+    )
 
     config = _negsamp_config(dim)
     dataset = build_synthetic_dataset(
@@ -97,12 +100,23 @@ def bench_negsamp(num_entities, num_relations, num_triples, steps,
     sec_per_step, _ = measure_steps(
         job, steps=steps, distinct_batches=distinct_batches
     )
+    if job._sparse_paths:
+        # sparse regime: the honest byte model counts TOUCHED rows, not
+        # table passes (VERDICT r3 item 1)
+        rows_e, rows_r = job._touched_row_counts()
+        step_bytes = negsamp_sparse_step_bytes(
+            rows_e, rows_r, dim, job.batch_size, 128
+        )
+    else:
+        step_bytes = negsamp_step_bytes(
+            num_entities, num_relations, dim, job.batch_size, 128
+        )
     rl = roofline(
-        negsamp_step_bytes(num_entities, num_relations, dim,
-                           job.batch_size, 128),
+        step_bytes,
         negsamp_step_flops(dim, job.batch_size, 128),
         sec_per_step,
     )
+    rl["sparse_updates"] = bool(job._sparse_paths)
     return job.batch_size / sec_per_step, sec_per_step, rl
 
 
@@ -184,29 +198,44 @@ def main():
     except Exception as e:
         print(f"bench: epoch section skipped: {e!r}", file=sys.stderr)
 
-    # fused entity-ranking eval throughput (the other half of a user's
-    # wall clock: validation every k epochs). Same guard.
+    # entity-ranking eval throughput, BOTH paths (generic chunked vs
+    # fused Pallas) with an HBM roofline anchor and a w5m-scale fused
+    # number (2.3 GiB candidate table). Same guard.
     try:
-        from bench_eval import run as run_eval
+        from bench_eval import measure as measure_eval
 
-        eval_qps, eval_mrr = run_eval("fused")
-        extras.update({"eval_queries_per_s": round(eval_qps, 1)})
+        ev = measure_eval()
+        extras.update({
+            "eval_queries_per_s": ev["eval_queries_per_s_fused"],
+            "eval_queries_per_s_generic": ev["eval_queries_per_s_generic"],
+            "eval_pct_hbm_roofline": ev["eval_pct_hbm_roofline"],
+            "eval_w5m_queries_per_s": ev["eval_w5m_queries_per_s_fused"],
+            "eval_w5m_pct_hbm_roofline": ev["eval_w5m_pct_hbm_roofline"],
+        })
     except Exception as e:
         print(f"bench: eval section skipped: {e!r}", file=sys.stderr)
 
-    # regime 3: CompGCN full-graph message passing (the GNN headline,
-    # bandwidth-bound segment ops), same guard.
-    try:
-        from bench_gnn import measure as measure_gnn
+    # regime 3: full-graph message passing for all three GNN layer
+    # families (bandwidth-bound segment ops), same guard per family.
+    from bench_gnn import measure as measure_gnn
 
-        g = measure_gnn()
-        extras.update({
-            "gnn_edges_per_s": g["value"],
-            "gnn_step_ms": g["step_ms"],
-            "gnn_pct_hbm_roofline": g["pct_hbm_roofline"],
-        })
-    except Exception as e:
-        print(f"bench: GNN section skipped: {e!r}", file=sys.stderr)
+    for fam in ("compgcn", "rgcn", "ragat"):
+        try:
+            g = measure_gnn(model=fam)
+            if fam == "compgcn":
+                extras.update({
+                    "gnn_edges_per_s": g["value"],
+                    "gnn_step_ms": g["step_ms"],
+                    "gnn_pct_hbm_roofline": g["pct_hbm_roofline"],
+                })
+            else:
+                extras.update({
+                    f"gnn_{fam}_edges_per_s": g["value"],
+                    f"gnn_{fam}_step_ms": g["step_ms"],
+                })
+        except Exception as e:
+            print(f"bench: GNN {fam} section skipped: {e!r}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "train_triples_per_s_complex_negsamp_fb15k237_scale",

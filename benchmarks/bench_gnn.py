@@ -1,37 +1,43 @@
-"""Message-passing throughput (edges/s) for the CompGCN encoder at
+"""Message-passing throughput (edges/s) for the R-GNN encoders at
 FB15k-237 scale: full-graph encode inside a real negative-sampling train
-step (the BASELINE.json edges/s metric)."""
+step (the BASELINE.json edges/s metric). All three layer families the
+reference ships are driver-tracked — CompGCN (message passing), RGCN
+(relation-stacked sparse conv) and RAGAT (attention heads) — so a
+regression in any of them is visible in BENCH_r{N}.json
+(reference workload: rgnn_encoder.py:1283-1303 full-graph forward)."""
 
 import json
 import sys
-import time
 import os
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
+
+GNN_DIM_KEYS = (
+    "{m}.entity_embedder.dim",
+    "{m}.relation_embedder.dim",
+    "{m}.decoder.base_model.entity_embedder.dim",
+    "{m}.decoder.base_model.relation_embedder.dim",
+)
 
 
-def measure(dim=200, num_entities=14541, num_relations=237,
-            num_triples=272115):
-    """Compile + time the CompGCN step; returns the metric fields."""
+def measure(model="compgcn", dim=200, num_entities=14541,
+            num_relations=237, num_triples=272115, steps=16):
+    """Compile + time one GNN family's train step; returns metric fields."""
     from kge_tpu import Config
     from kge_tpu.train.train import TrainingJob
     from bench import build_synthetic_dataset
-    import jax
-    import jax.numpy as jnp
 
     config = Config()
     config.folder = None
     config.set("console.quiet", True)
-    config.set("model", "compgcn")
-    config._import("compgcn")
-    config.set("compgcn.entity_embedder.dim", dim, create=True)
-    config.set("compgcn.relation_embedder.dim", dim, create=True)
-    config.set("compgcn.decoder.base_model.entity_embedder.dim", dim,
-               create=True)
-    config.set("compgcn.decoder.base_model.relation_embedder.dim", dim,
-               create=True)
+    config.set("model", model)
+    config._import(model)
+    for key in GNN_DIM_KEYS:
+        config.set(key.format(m=model), dim, create=True)
+    if model == "rgcn":
+        # block decomposition needs dim % blocks == 0 (preset: 100)
+        config.set("rgcn.encoder.num_blocks_or_bases", 4)
     config.set("train.type", "negative_sampling")
     config.set("train.batch_size", 1024)
     config.set("negative_sampling.num_samples.s", 64)
@@ -52,9 +58,9 @@ def measure(dim=200, num_entities=14541, num_relations=237,
 
     from harness import measure_steps
 
-    sec_per_step, _ = measure_steps(job, steps=16, distinct_batches=4)
+    sec_per_step, _ = measure_steps(job, steps=steps, distinct_batches=4)
     # the encoder touches every edge (x2 for inverses) per layer per step
-    num_layers = config.get("compgcn.encoder.num_layers")
+    num_layers = config.get(f"{model}.encoder.num_layers")
     edges_per_step = num_triples * 2 * num_layers
     from roofline import gnn_step_bytes, roofline
 
@@ -63,7 +69,7 @@ def measure(dim=200, num_entities=14541, num_relations=237,
     )
     rl.pop("GFLOPs_per_s")  # bandwidth-bound; FLOP side not modeled
     return {
-        "metric": "gnn_edges_per_s_compgcn_fb15k237_scale",
+        "metric": f"gnn_edges_per_s_{model}_fb15k237_scale",
         "value": round(edges_per_step / sec_per_step, 1),
         "unit": "edges/s/chip",
         "vs_baseline": 1.0,
@@ -78,4 +84,5 @@ def main(**kwargs):
 
 
 if __name__ == "__main__":
-    main()
+    model = sys.argv[1] if len(sys.argv) > 1 else "compgcn"
+    main(model=model)

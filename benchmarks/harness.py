@@ -20,7 +20,8 @@ def measure_steps(job, steps: int = 32, distinct_batches: int = 8):
     import jax
     import jax.numpy as jnp
 
-    if getattr(job, "_sparse_split", False):
+    if (getattr(job, "_sparse_split", False)
+            or getattr(job, "_sparse_pipeline", False)):
         return _measure_pipelined_steps(job, steps, distinct_batches)
 
     step_fn = job._make_step_fn()

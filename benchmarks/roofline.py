@@ -49,6 +49,18 @@ def negsamp_step_bytes(num_entities: int, num_relations: int, dim: int,
     return table * passes + gathers * 3.0
 
 
+def negsamp_sparse_step_bytes(rows_e: int, rows_r: int, dim: int,
+                              batch_size: int, num_neg: int) -> float:
+    """Row-sparse NegSamp train step (tpu.sparse_updates): table traffic
+    shrinks from O(V) passes to the TOUCHED rows — gather param rows
+    (1 read), row-Adagrad read-modify-write of param + accumulator rows
+    (2 reads + 2 writes), grad rows (1) = 6 row passes — plus the same
+    batch-side forward/backward gather traffic as the dense model."""
+    rows = (rows_e + rows_r) * dim * 4.0
+    gathers = (3 * batch_size + 2 * (num_neg + 1)) * dim * 4.0
+    return rows * 6.0 + gathers * 3.0
+
+
 def negsamp_step_flops(dim: int, batch_size: int, num_neg: int) -> float:
     """Shared-negative scoring [B, num+1] dot products, forward + 2x
     backward."""

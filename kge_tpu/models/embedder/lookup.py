@@ -15,6 +15,7 @@ Differences by design:
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -35,15 +36,20 @@ class LookupEmbedder(KgeEmbedder):
         round_to = self.get_option("round_dim_to")
         if len(round_to) > 0:
             self.dim = round_to_points(round_to, self.dim)
-        # vocab padding so the table divides the mesh "model" axis; the
-        # padded rows are zero-initialized and sliced off by embed_all
+        # vocab padding so the table divides the mesh "model" axis AND
+        # aligns to 8 rows (the Mosaic f32 second-minor tile — the
+        # in-place sparse row kernel addresses the table in full 8-row
+        # blocks, ops/pallas/row_update.py, and a partial trailing block
+        # would be an overhanging aliased write). Padded rows are
+        # zero-initialized and sliced off by embed_all; with padding
+        # present, the sparse fill id lands on a pad row that no real id
+        # can collide with.
         try:
             model_axis = max(1, config.get("tpu.mesh.model"))
         except KeyError:
             model_axis = 1
-        self.padded_vocab_size = (
-            (self.vocab_size + model_axis - 1) // model_axis * model_axis
-        )
+        align = model_axis * 8 // math.gcd(model_axis, 8)
+        self.padded_vocab_size = -(-self.vocab_size // align) * align
         try:
             self._lookup_mode = config.get("tpu.embedding_lookup")
         except KeyError:

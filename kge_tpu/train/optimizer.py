@@ -264,7 +264,8 @@ class KgeOptimizer:
         return new_params, new_tx_state
 
     def sparse_row_update(self, path: str, table, sparse_state, uniq,
-                          row_grads, lrs: Dict[str, jnp.ndarray]):
+                          row_grads, lrs: Dict[str, jnp.ndarray],
+                          in_place: bool = False):
         """Row-wise optimizer step on the touched rows of one table.
 
         ``uniq`` is a sorted, padded unique-index vector; duplicate/fill
@@ -272,13 +273,38 @@ class KgeOptimizer:
         accumulator update is an add of g^2, not a set, to stay correct
         under duplicates). Exact counterpart of torch sparse Adagrad /
         plain SGD on sparse gradients.
+
+        ``in_place=True`` routes through the Pallas row-update kernel
+        (ops/pallas/row_update.py) whose aliased buffers are guaranteed
+        updated in place — inside the fused train step, XLA's scatter
+        form materializes whole-table operand copies (~17 ms/step flat
+        at Wikidata5M scale). Callers enable it off-mesh on real TPU
+        (pallas_call has no SPMD partitioning rule; per-shard tables
+        under a mesh are small enough for the XLA form).
         """
         group = self._lr_label_by_path[path]
         lr = lrs[group]
         args = self._group_args[group]
+        if in_place:
+            from kge_tpu.ops.pallas.row_update import (
+                adagrad_row_update, sgd_row_update
+            )
+
+            interpret = jax.default_backend() == "cpu"
+            if self._opt_type == "adagrad":
+                eps = float(args.get("eps", 1e-10))
+                new_table, new_sum = adagrad_row_update(
+                    table, sparse_state["sum"], uniq, row_grads, lr, eps,
+                    interpret=interpret,
+                )
+                return new_table, {"sum": new_sum}
+            return (
+                sgd_row_update(table, uniq, row_grads, lr,
+                               interpret=interpret),
+                sparse_state,
+            )
         # uniq is sorted (jnp.unique output); the sorted-scatter path is
-        # faster and avoids a backend fault observed with the default
-        # scatter lowering on >1 GiB tables
+        # faster than the default scatter lowering on large tables
         if self._opt_type == "adagrad":
             eps = float(args.get("eps", 1e-10))
             sum_rows = jnp.take(sparse_state["sum"], uniq, axis=0)

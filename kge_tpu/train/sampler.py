@@ -242,7 +242,10 @@ class KgeSampler(Configurable):
                     self.num_samples[slot] = 0
         self._rng = np.random.default_rng()
 
-    def seed(self, seed: int):
+    def seed(self, seed) -> None:
+        """Reset the sampler's host RNG; accepts any numpy SeedSequence
+        entropy (int or tuple — the trainer passes (seed, epoch) so
+        negatives re-derive per epoch, resume-stable)."""
         self._rng = np.random.default_rng(seed)
 
     @staticmethod

@@ -224,6 +224,7 @@ class TrainingJob(TrainingOrEvaluationJob):
             from kge_tpu.parallel.distributed import broadcast_int
 
             np_seed = broadcast_int(int.from_bytes(os.urandom(4), "little"))
+        self._np_seed = np_seed
         self._np_rng = np.random.default_rng(np_seed if np_seed >= 0 else None)
 
         self._train_step = None  # compiled lazily per strategy
@@ -273,6 +274,20 @@ class TrainingJob(TrainingOrEvaluationJob):
     def _generate_batches(self, epoch: int):
         """Yield per-batch numpy dicts (padded to static shapes)."""
         raise NotImplementedError
+
+    def _epoch_np_rng(self, epoch: int) -> np.random.Generator:
+        """Host RNG for epoch-scoped draws (batch order, sampled
+        subgraphs, negatives), derived from (seed, epoch) rather than
+        consumed from one stateful stream: epoch k draws identically
+        whether the process trained from epoch 1 or resumed from a
+        checkpoint at k-1, so a kill/resume reproduces the
+        uninterrupted run's loss trajectory bit-for-bit (the host RNG
+        state is not checkpointable the way device PRNG keys are).
+        Unseeded jobs keep the shared stream — freshness over
+        reproducibility."""
+        if self._np_seed < 0:
+            return self._np_rng
+        return np.random.default_rng((self._np_seed, epoch))
 
     def _num_batches(self) -> int:
         return math.ceil(self.num_examples / self.batch_size)

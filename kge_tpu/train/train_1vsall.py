@@ -27,7 +27,7 @@ class TrainingJob1vsAll(TrainingJob):
         self.num_examples = len(self.triples)
 
     def _generate_batches(self, epoch: int):
-        order = self._np_rng.permutation(self.num_examples)
+        order = self._epoch_np_rng(epoch).permutation(self.num_examples)
         for idx, weights, true in self._pad_batch_indexes(order):
             yield {
                 "triples": self.triples[idx].astype(np.int32),

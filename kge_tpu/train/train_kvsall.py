@@ -95,15 +95,16 @@ class TrainingJobKvsAll(TrainingJob):
 
     def _generate_batches(self, epoch: int):
         # homogeneous-type batches, shuffled across types
+        rng = self._epoch_np_rng(epoch)
         batches = []
         for qt in self.query_types:
-            order = self._np_rng.permutation(len(self.queries[qt]))
+            order = rng.permutation(len(self.queries[qt]))
             for idx, weights, true in self._pad_batch_indexes(order):
                 batches.append((qt, idx, weights, true, None))
-        self._np_rng.shuffle(batches)
+        rng.shuffle(batches)
         group = self._steps_per_dispatch()
         if group > 1:
-            batches = self._regroup_for_dispatch(batches, group)
+            batches = self._regroup_for_dispatch(batches, group, rng)
         for qt, idx, weights, true, L in batches:
             index = self.indexes[qt]
             queries = self.queries[qt][idx]
@@ -132,7 +133,7 @@ class TrainingJobKvsAll(TrainingJob):
                 QTYPE_KEYS[qt]: np.zeros(0, dtype=np.int32),
             }
 
-    def _regroup_for_dispatch(self, batches, group):
+    def _regroup_for_dispatch(self, batches, group, rng):
         """Reorder batches into runs of ``group`` with identical compiled
         structure — same query type AND same label-bucket width — so
         tpu.steps_per_dispatch grouping engages for KvsAll (the epoch
@@ -152,7 +153,7 @@ class TrainingJobKvsAll(TrainingJob):
         for members in keyed.values():
             for i in range(0, len(members), group):
                 runs.append(members[i:i + group])
-        self._np_rng.shuffle(runs)
+        rng.shuffle(runs)
         return [b for run in runs for b in run]
 
     def _subbatch_loss(self, params, ctx: Ctx, batch, sl):

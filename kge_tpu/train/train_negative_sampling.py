@@ -59,6 +59,7 @@ class TrainingJobNegativeSampling(TrainingJob):
         Wikidata5M-scale vocabularies where dense [V, D] updates dominate
         the step."""
         self._sparse_split = False
+        self._sparse_pipeline = False
         config = self.config
         # canonical values are YAML-safe (unquoted on/off parse as YAML
         # booleans); accept legacy aliases
@@ -116,22 +117,53 @@ class TrainingJobNegativeSampling(TrainingJob):
                     "touched per batch)"
                 )
         if not reasons:
-            # observed v5e backend fault when the FUSED loss+row-scatter
-            # program touches a single table buffer over ~1 GiB (worker
-            # crash at V=2.5M, dim 128, re-verified on jaxlib 0.9.0). The
-            # split phases each run fine, so past the cap the step runs as
-            # TWO compiled programs — a gather/loss/grad phase and a
-            # donated-buffer scatter phase (_build_split_sparse_step);
-            # below it the single fused program is kept (one dispatch,
-            # scannable under grouped dispatch). Vocab sharding
-            # (tpu.mesh.model) divides the per-shard buffer, re-enabling
-            # the fused form at scale (tests/test_sparse_updates.py).
-            dim = self.model.get_s_embedder().dim
-            e_pad = self.model.get_s_embedder().padded_vocab_size
-            shards = self.mesh.shape["model"] if self.mesh else 1
-            limit = int(config.get("tpu.sparse_scatter_limit_bytes"))
-            if e_pad * dim * 4 // shards > limit:
+            # Split-phase pipelining (loss program over gathered rows +
+            # donated update+gather program) is OPT-IN: it has the best
+            # theoretical step time (~0.07 ms update program) but the
+            # donated big-buffer update program crashes the v5e worker
+            # intermittently on the current remote-attached backend
+            # (round-4 bisect: identical HLO runs clean standalone;
+            # failure depends on dispatch history). The default at every
+            # scale is the fused single program; past
+            # tpu.sparse_scatter_limit_bytes its XLA scatters hand over
+            # to the in-place Pallas row kernel (_use_row_kernel).
+            split = config.check(
+                "tpu.sparse_split_phases", ["auto", "always", "never"]
+            )
+            if split == "always":
+                if self.mesh is not None:
+                    raise ValueError(
+                        "tpu.sparse_split_phases=always is not supported "
+                        "under a device mesh"
+                    )
                 self._sparse_split = True
+            # Past the per-shard scatter cap, the default escape is the
+            # PIPELINED-GATHER single program (_build_train_step): step i
+            # first scatters batch i-1's pending row updates — the
+            # tables' FIRST consumer, so the update runs in place — then
+            # gathers batch i's rows from the result and runs the loss
+            # on them. The plain fused form gathers BEFORE the scatter,
+            # which makes XLA materialize whole-table operand copies
+            # (~17 ms/step flat at w5m scale).
+            pipe = config.check(
+                "tpu.sparse_pipelined_gather", ["auto", "always", "never"]
+            )
+            if not self._sparse_split and pipe == "always":
+                # auto currently equals never: like every other in-place
+                # big-table form (split phases, the Pallas row kernel),
+                # the pipelined-gather program crashes the current
+                # remote-attached v5e worker — identical HLO runs clean
+                # in a minimal process, so this is a platform fault, not
+                # a program property (round-4 bisect, docs/STATUS.md).
+                # The fused XLA-scatter form (whole-table operand
+                # copies, ~17 ms/step at w5m scale) is the reliable
+                # default; flip auto here when the runtime is fixed.
+                if self.mesh is not None:
+                    raise ValueError(
+                        "tpu.sparse_pipelined_gather=always is not "
+                        "supported under a device mesh"
+                    )
+                self._sparse_pipeline = True
         if reasons:
             if mode == "always":
                 raise ValueError(
@@ -174,6 +206,33 @@ class TrainingJobNegativeSampling(TrainingJob):
             else:
                 ent_rows += extra
         return ent_rows, rel_rows
+
+    def _use_row_kernel(self, table_bytes: int) -> bool:
+        """Route one table's row-sparse update through the in-place
+        Pallas kernel (ops/pallas/row_update.py). The kernel is correct
+        and 16x faster than XLA's copying scatters in a STANDALONE
+        donated program (1.09 ms vs 16.5 ms at w5m scale), but embedding
+        it in the full train-step program crashes the current
+        remote-attached v5e worker (same fault family as the split-phase
+        pipeline — in-place writes to multi-GiB buffers inside large
+        programs), so ``auto`` currently equals ``never``; the
+        pipelined-gather step (_build_pipelined_gather_step) achieves
+        in-place updates through operand ordering instead. ``always``
+        forces the kernel at any size (interpret mode on CPU — tests;
+        re-evaluate on future runtimes). ``table_bytes`` is accepted so
+        a future auto policy can gate per table."""
+        mode = self.config.check(
+            "tpu.sparse_row_kernel", ["auto", "always", "never"]
+        )
+        if mode == "always":
+            if self.mesh is not None:
+                raise ValueError(
+                    "tpu.sparse_row_kernel=always is not applicable "
+                    "under a device mesh (pallas_call has no SPMD "
+                    "partitioning rule)"
+                )
+            return True
+        return False
 
     def _sparse_loss_grads(self, rows_e, rows_r, aux_params, model_state,
                            batch, rng):
@@ -251,6 +310,14 @@ class TrainingJobNegativeSampling(TrainingJob):
         import jax
 
         optimizer = self.optimizer
+        dim = self.model.get_s_embedder().dim
+        in_place_e = self._use_row_kernel(
+            self.model.get_s_embedder().padded_vocab_size * dim * 4
+        )
+        in_place_r = self._use_row_kernel(
+            self.model.get_p_embedder().padded_vocab_size
+            * self.model.get_p_embedder().dim * 4
+        )
 
         def apply_phase(params, opt_state, uniq_e, uniq_r, grads, lrs):
             # dense update for non-table leaves; tables pass through.
@@ -282,13 +349,13 @@ class TrainingJobNegativeSampling(TrainingJob):
                 "entity_embedder.weights",
                 new_params["entity_embedder"]["weights"],
                 sparse_state["entity_embedder.weights"],
-                uniq_e, grads["rows_e"], lrs,
+                uniq_e, grads["rows_e"], lrs, in_place=in_place_e,
             )
             new_table_r, state_r = optimizer.sparse_row_update(
                 "relation_embedder.weights",
                 new_params["relation_embedder"]["weights"],
                 sparse_state["relation_embedder.weights"],
-                uniq_r, grads["rows_r"], lrs,
+                uniq_r, grads["rows_r"], lrs, in_place=in_place_r,
             )
             sparse_state["entity_embedder.weights"] = state_e
             sparse_state["relation_embedder.weights"] = state_r
@@ -347,6 +414,8 @@ class TrainingJobNegativeSampling(TrainingJob):
         return step
 
     def _build_train_step(self):
+        if self._sparse_paths and self._sparse_pipeline:
+            return self._build_pipelined_gather_step()
         if not (self._sparse_paths and self._sparse_split):
             return super()._build_train_step()
         import jax
@@ -434,9 +503,116 @@ class TrainingJobNegativeSampling(TrainingJob):
                              "update": update_j, "flush": flush_j}
         return step
 
+    def _build_pipelined_gather_step(self):
+        """ONE compiled program per step, ordered so the big tables are
+        updated IN PLACE: scatter batch i-1's pending row updates first
+        (the donated tables' first and only pre-update consumer), then
+        gather batch i's rows from the updated tables, then loss/grads
+        over those rows. The plain fused order (gather -> loss ->
+        scatter) makes XLA materialize whole-table operand copies
+        (~17 ms/step flat at Wikidata5M scale, batch-size independent);
+        this order measured in-place (see docs/STATUS.md round 4).
+
+        The last batch's update is applied by ``step.flush_pipeline``
+        (train.py calls it after the batch loop) by re-running the SAME
+        program with the last batch as a dummy (its loss/grads are
+        discarded) — no separate scatter-only program, so no second
+        crash surface on the backend that faults small donated
+        big-buffer programs. Sparse-eligible models carry no mutable
+        model state (GNN/BN models are excluded from the sparse path),
+        so the dummy forward cannot perturb anything retained.
+
+        Semantics match the plain fused step exactly: batch i's loss
+        sees all updates < i."""
+        import jax
+
+        donate = bool(self.config.get("tpu.donate_buffers"))
+
+        def strip_tables(params):
+            return {
+                k: (
+                    {kk: vv for kk, vv in v.items() if kk != "weights"}
+                    if k in ("entity_embedder", "relation_embedder")
+                    else v
+                )
+                for k, v in params.items()
+            }
+
+        apply_phase = self._sparse_update_fn(gather_next=False)
+
+        def gather_loss(params, model_state, batch, rng):
+            rows_e = jnp.take(
+                params["entity_embedder"]["weights"], batch["uniq_e"],
+                axis=0,
+            )
+            rows_r = jnp.take(
+                params["relation_embedder"]["weights"], batch["uniq_r"],
+                axis=0,
+            )
+            return self._sparse_loss_grads(
+                rows_e, rows_r, strip_tables(params), model_state, batch,
+                rng,
+            )
+
+        def pstep(params, opt_state, model_state, p_ue, p_ur, p_grads,
+                  batch, lrs, rng):
+            params, opt_state = apply_phase(
+                params, opt_state, p_ue, p_ur, p_grads, lrs
+            )
+            grads, new_model_state, metrics = gather_loss(
+                params, model_state, batch, rng
+            )
+            return params, opt_state, new_model_state, grads, metrics
+
+        def fstep(params, opt_state, model_state, batch, lrs, rng):
+            # first batch of an epoch: nothing pending to scatter
+            grads, new_model_state, metrics = gather_loss(
+                params, model_state, batch, rng
+            )
+            return params, opt_state, new_model_state, grads, metrics
+
+        pstep_j = jax.jit(pstep, donate_argnums=(0, 1) if donate else ())
+        fstep_j = jax.jit(fstep)
+        self.config.log(
+            "Row-sparse updates run as a pipelined-gather single program "
+            "(entity table over tpu.sparse_scatter_limit_bytes): "
+            "scatter-then-gather order keeps the donated tables in place."
+        )
+        pending = {}
+
+        def step(params, opt_state, model_state, batch, lrs, rng):
+            if "g" in pending:
+                p_ue, p_ur, p_g = pending.pop("g")
+                params, opt_state, model_state, grads, metrics = pstep_j(
+                    params, opt_state, model_state, p_ue, p_ur, p_g,
+                    batch, lrs, rng,
+                )
+            else:
+                params, opt_state, model_state, grads, metrics = fstep_j(
+                    params, opt_state, model_state, batch, lrs, rng
+                )
+            pending["g"] = (batch["uniq_e"], batch["uniq_r"], grads)
+            pending["last_batch"] = batch
+            return params, opt_state, model_state, metrics
+
+        def flush_pipeline(params, opt_state, lrs):
+            if "g" in pending:
+                p_ue, p_ur, p_g = pending.pop("g")
+                batch = pending.pop("last_batch")
+                params, opt_state, _, _, _ = pstep_j(
+                    params, opt_state, self.model_state, p_ue, p_ur, p_g,
+                    batch, lrs, jax.random.PRNGKey(0),
+                )
+            return params, opt_state
+
+        step.flush_pipeline = flush_pipeline
+        step.pipeline_phases = {"pstep": pstep_j, "fstep": fstep_j}
+        return step
+
     def _steps_per_dispatch(self) -> int:
-        if self._sparse_paths and self._sparse_split:
-            return 1  # pipelined two-program steps cannot scan
+        if self._sparse_paths and (self._sparse_split
+                                   or self._sparse_pipeline):
+            return 1  # host-side pending state between steps
         return super()._steps_per_dispatch()
 
     def _prepare(self):
@@ -478,9 +654,13 @@ class TrainingJobNegativeSampling(TrainingJob):
         self._device_pool = None
         self._on_device_sampling = self._resolve_on_device_sampling()
 
-    def _sample_graph(self) -> np.ndarray:
+    def _sample_graph(self, rng: np.random.Generator) -> np.ndarray:
         """Per-epoch subgraph sampling; returns the sampled triples and
-        updates the GNN encoder's edge buffers if the model has one."""
+        updates the GNN encoder's edge buffers if the model has one.
+        ``rng`` is the epoch-derived generator (``_epoch_np_rng``), so a
+        resumed run redraws the same subgraph for epoch k as the
+        uninterrupted run (the reference re-derives its sampled indexes
+        per epoch the same way, train_negative_sampling.py:53-64)."""
         from kge_tpu.train.graph_util import (
             sample_edge_neighbourhood, sample_uniform
         )
@@ -488,11 +668,11 @@ class TrainingJobNegativeSampling(TrainingJob):
         train = self.dataset.split(self.train_split)
         if self.graph_sampling == "uniform":
             triples = sample_uniform(
-                train, self.graph_sampling_size, self._np_rng
+                train, self.graph_sampling_size, rng
             )
         else:
             triples = sample_edge_neighbourhood(
-                train, self.graph_sampling_size, self._np_rng
+                train, self.graph_sampling_size, rng
             )
         if hasattr(self.model, "set_graph"):
             self.model.set_graph(triples)
@@ -594,8 +774,14 @@ class TrainingJobNegativeSampling(TrainingJob):
         return out
 
     def _generate_batches(self, epoch: int):
+        rng = self._epoch_np_rng(epoch)
+        if self._np_seed >= 0:
+            # negatives re-derive per epoch too (see _epoch_np_rng):
+            # resume at epoch k draws the same corruptions as the
+            # uninterrupted run
+            self._sampler.seed((self._np_seed + 1, epoch))
         if self.graph_sampling:
-            triples_pool = self._sample_graph()
+            triples_pool = self._sample_graph(rng)
         else:
             triples_pool = self.dataset.split(self.train_split)
         if self._on_device_sampling:
@@ -605,14 +791,14 @@ class TrainingJobNegativeSampling(TrainingJob):
                 self._device_pool = jax.device_put(
                     triples_pool.astype(np.int32), self.device
                 )
-            order = self._np_rng.permutation(
+            order = rng.permutation(
                 len(triples_pool)
             )[: self.num_examples]
             for idx, _, true in self._pad_batch_indexes(order):
                 yield {"pos_idx": idx.astype(np.int32),
                        "size": np.float32(true)}
             return
-        order = self._np_rng.permutation(len(triples_pool))[: self.num_examples]
+        order = rng.permutation(len(triples_pool))[: self.num_examples]
         for idx, weights, true in self._pad_batch_indexes(order):
             triples = triples_pool[idx].astype(np.int32)
             batch: Dict[str, np.ndarray] = {
@@ -682,8 +868,20 @@ class TrainingJobNegativeSampling(TrainingJob):
 
         uniq_e = uniquify(ent_parts, u_e, e_pad - 1)
         uniq_r = uniquify(rel_parts, u_r, r_pad - 1)
-        remap_e = lambda a: np.searchsorted(uniq_e, a).astype(np.int32)
-        remap_r = lambda a: np.searchsorted(uniq_r, a).astype(np.int32)
+        # map each id to the LAST position of its equal run (the fill id
+        # can collide with a real id, making a duplicate run): the real
+        # gradient then lands on the run's final position, so the
+        # in-place Pallas row kernel — whose earlier duplicate steps may
+        # write back stale pre-update rows under DMA pipelining — is
+        # correct by construction. Equal-id rows are identical, so the
+        # forward gather is unaffected; XLA's scatter-add is
+        # position-agnostic across equal ids.
+        remap_e = lambda a: (
+            np.searchsorted(uniq_e, a, side="right") - 1
+        ).astype(np.int32)
+        remap_r = lambda a: (
+            np.searchsorted(uniq_r, a, side="right") - 1
+        ).astype(np.int32)
         batch["triples"] = np.stack(
             [remap_e(triples[:, S]), remap_r(triples[:, P]),
              remap_e(triples[:, O])], axis=1,

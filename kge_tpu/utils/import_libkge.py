@@ -67,11 +67,22 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
 # ------------------------------------------------------------------ mapping
 
 
-def _set(tree, key, value):
+def _set(tree, key, value, pad_rows: bool = False):
     import jax.numpy as jnp
 
     old = tree[key]
     value = np.asarray(value)
+    if (pad_rows and value.ndim == 2 and len(old.shape) == 2
+            and value.shape[1] == old.shape[1]
+            and value.shape[0] < old.shape[0]):
+        # vocab-padded table (LookupEmbedder.padded_vocab_size aligns to
+        # the mesh model axis and the 8-row Mosaic tile): reference
+        # tables are unpadded; pad rows are zero and never read
+        value = np.concatenate(
+            [value, np.zeros((old.shape[0] - value.shape[0],
+                              value.shape[1]), value.dtype)],
+            axis=0,
+        )
     if tuple(old.shape) != tuple(value.shape):
         raise ValueError(
             f"shape mismatch importing {key}: ours {tuple(old.shape)} vs "
@@ -138,9 +149,11 @@ def apply_reference_state_dict(model, params: Dict[str, Any],
 
     if isinstance(model, KgeRgnnModel):
         _set(params["entity_embedder"], "weights",
-             sd["_encoder.entity_embedder._embeddings.weight"])
+             sd["_encoder.entity_embedder._embeddings.weight"],
+             pad_rows=True)
         _set(params["relation_embedder"], "weights",
-             sd["_encoder.relation_embedder._embeddings.weight"])
+             sd["_encoder.relation_embedder._embeddings.weight"],
+             pad_rows=True)
         if "_scorer.convolution.weight" in sd:
             _conve_scorer(params["scorer"], state, sd, "_scorer.")
         layers = model._encoder.rgnn.layers
@@ -213,14 +226,16 @@ def apply_reference_state_dict(model, params: Dict[str, Any],
 
     # non-GNN models: embedders first
     _set(params["entity_embedder"], "weights",
-         sd["_entity_embedder._embeddings.weight"])
+         sd["_entity_embedder._embeddings.weight"], pad_rows=True)
     rel = params["relation_embedder"]
     if "base" in rel:  # projection / Tucker3 relation embedder
         _set(rel["base"], "weights",
-             sd["_relation_embedder.base_embedder._embeddings.weight"])
+             sd["_relation_embedder.base_embedder._embeddings.weight"],
+             pad_rows=True)
         _set(rel, "projection", sd["_relation_embedder.projection.weight"])
     else:
-        _set(rel, "weights", sd["_relation_embedder._embeddings.weight"])
+        _set(rel, "weights", sd["_relation_embedder._embeddings.weight"],
+             pad_rows=True)
     if "_scorer.cls_emb" in sd:  # (reciprocal-wrapped) Transformer
         _transformer_scorer(params["scorer"], sd, "_scorer.")
     elif "_scorer.convolution.weight" in sd:  # (reciprocal-wrapped) ConvE

@@ -166,3 +166,71 @@ def test_get_checkpoint_file_default_semantics(tmp_path):
         get_checkpoint_file(config)
     # an explicit argument always resolves to the named file
     assert get_checkpoint_file(config, "best").endswith("checkpoint_best.pt")
+
+
+def test_resume_trajectory_bit_equal_with_graph_sampling(tmp_path):
+    """A kill/resume at an epoch boundary reproduces the uninterrupted
+    run's per-epoch losses BIT-EQUAL, with per-epoch graph sampling on:
+    batch order, sampled subgraphs and negatives are all derived from
+    (seed, epoch) rather than a stateful host RNG stream, so epoch k
+    draws identically in both runs (reference counterpart: per-epoch
+    index re-derivation, kge/job/train_negative_sampling.py:53-64)."""
+    import jax.numpy as jnp
+
+    from kge_tpu import Dataset
+    from kge_tpu.utils.io import load_checkpoint
+
+    def make(name, max_epochs):
+        config = create_config("toy", model="complex")
+        config.set("console.quiet", True)
+        config.set("train.type", "negative_sampling")
+        config.set("train.batch_size", 32)
+        config.set("train.max_epochs", max_epochs)
+        config.set("train.checkpoint.every", 1)
+        config.set("train.checkpoint.keep", 9)
+        config.set("negative_sampling.num_samples.s", 3)
+        config.set("negative_sampling.num_samples.o", 3)
+        config.set("negative_sampling.graph_sampling", "uniform")
+        config.set("negative_sampling.graph_sampling_size", 200)
+        config.set("lookup_embedder.dim", 8)
+        config.set("random_seed.default", 23)
+        config.set("valid.every", 0)
+        config.folder = str(tmp_path / name)
+        os.makedirs(config.folder)
+        config.init_folder()
+        dataset = Dataset.create(config)
+        return TrainingJob.create(config, dataset), config, dataset
+
+    losses = {}
+
+    def track(tag):
+        def hook(j):
+            losses.setdefault(tag, []).append(
+                float(j.current_trace["epoch"]["avg_loss"])
+            )
+        return hook
+
+    # uninterrupted: 6 epochs
+    job, _, _ = make("full", 6)
+    job.post_epoch_hooks.append(track("full"))
+    job.run()
+
+    # interrupted: 3 epochs, then resume to 6 from the checkpoint
+    job_a, config_a, dataset = make("killed", 3)
+    job_a.post_epoch_hooks.append(track("resumed"))
+    job_a.run()
+    checkpoint = load_checkpoint(config_a.checkpoint_file(3))
+    checkpoint["config"].set("train.max_epochs", 6)
+    job_b = Job.create_from(checkpoint, dataset=dataset)
+    job_b.post_epoch_hooks.append(track("resumed"))
+    job_b.run()
+
+    assert len(losses["full"]) == 6 and len(losses["resumed"]) == 6
+    np.testing.assert_array_equal(
+        np.asarray(losses["full"]), np.asarray(losses["resumed"]),
+        err_msg="resumed trajectory diverges from the uninterrupted run",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jnp.asarray(job.params["entity_embedder"]["weights"])),
+        np.asarray(jnp.asarray(job_b.params["entity_embedder"]["weights"])),
+    )

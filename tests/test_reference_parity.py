@@ -609,12 +609,17 @@ def test_gradient_parity(ref, dataset_folder, tmp_path, model_name,
         gr_our = np.asarray(
             rtree["base"]["weights"] if "base" in rtree else rtree["weights"]
         )
+    # our tables carry vocab-padding rows (mesh/Mosaic alignment); the
+    # reference's do not. Pad rows are never read, so their gradients
+    # must be exactly zero.
+    assert not np.any(ge_our[len(ge_ref):])
+    assert not np.any(gr_our[len(gr_ref):])
     np.testing.assert_allclose(
-        ge_ref, ge_our, rtol=1e-3, atol=1e-4,
+        ge_ref, ge_our[: len(ge_ref)], rtol=1e-3, atol=1e-4,
         err_msg=f"{model_name} entity-table gradient diverges",
     )
     np.testing.assert_allclose(
-        gr_ref, gr_our, rtol=1e-3, atol=1e-4,
+        gr_ref, gr_our[: len(gr_ref)], rtol=1e-3, atol=1e-4,
         err_msg=f"{model_name} relation-table gradient diverges",
     )
 

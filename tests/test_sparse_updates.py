@@ -15,7 +15,7 @@ pytestmark = pytest.mark.slow  # 8-device / long-training tests; fast profile: -
 
 def _run_training(sparse_mode, *, optimizer="Adagrad", shared=False,
                   implementation="triple", model="complex", epochs=3,
-                  weighted_reg=True, seed=11):
+                  weighted_reg=True, seed=11, row_kernel="never"):
     from kge_tpu import Dataset
     from kge_tpu.train.train import TrainingJob
 
@@ -38,6 +38,7 @@ def _run_training(sparse_mode, *, optimizer="Adagrad", shared=False,
     config.set("random_seed.default", seed)
     config.set("valid.every", 0)
     config.set("tpu.sparse_updates", sparse_mode)
+    config.set("tpu.sparse_row_kernel", row_kernel)
     dataset = Dataset.create(config)
     job = TrainingJob.create(config, dataset)
     job.run()
@@ -69,6 +70,21 @@ def test_sparse_matches_dense(kwargs):
     )
     for d, s in zip(_tables(dense), _tables(sparse)):
         np.testing.assert_allclose(d, s, atol=5e-6)
+
+
+@pytest.mark.parametrize("optimizer", ["Adagrad", "SGD"])
+def test_row_kernel_matches_xla_scatter(optimizer):
+    """The in-place Pallas row-update kernel (tpu.sparse_row_kernel,
+    ops/pallas/row_update.py) must reproduce the XLA sorted-scatter
+    trajectory exactly — same math, aliased buffers instead of
+    whole-table operand copies. Interpret mode on CPU."""
+    kwargs = dict(optimizer=optimizer,
+                  weighted_reg=(optimizer == "Adagrad"))
+    xla = _run_training("on", row_kernel="never", **kwargs)
+    ker = _run_training("on", row_kernel="always", **kwargs)
+    assert ker._use_row_kernel(0)  # 'always' ignores the size gate
+    for a, b in zip(_tables(xla), _tables(ker)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
 
 
 def test_auto_disables_on_small_vocab():
@@ -132,17 +148,19 @@ def test_sparse_under_mesh_matches_dense_single_device():
 
 
 def test_split_phase_sparse_matches_dense():
-    """Past the scatter-limit cap, sparse updates run as PIPELINED split
-    phases (loss program over gathered rows + donated update+gather
-    program; the last batch's update flushes at epoch end). The
-    trajectory must be identical to the dense path and to the fused
-    single-program sparse path — same math, different program
+    """With tpu.sparse_split_phases=always, sparse updates run as
+    PIPELINED split phases (loss program over gathered rows + donated
+    update+gather program; the last batch's update flushes at epoch
+    end). The trajectory must be identical to the dense path and to the
+    fused single-program sparse path — same math, different program
     boundaries. Multi-epoch so the flush/re-gather seam at epoch
-    boundaries is exercised."""
+    boundaries is exercised. (Split mode is opt-in: the donated update
+    program intermittently crashes the v5e worker on the current
+    remote-attached backend, so the fused program is the default.)"""
     from kge_tpu import Dataset
     from kge_tpu.train.train import TrainingJob
 
-    def run(sparse, limit):
+    def run(sparse, split="auto", pipeline="never"):
         config = create_config("toy", model="complex")
         config.set("console.quiet", True)
         config.set("lookup_embedder.dim", 16)
@@ -155,37 +173,43 @@ def test_split_phase_sparse_matches_dense():
         config.set("random_seed.default", 11)
         config.set("train.optimizer.default.args.lr", 0.1, create=True)
         config.set("tpu.sparse_updates", sparse)
-        config.set("tpu.sparse_scatter_limit_bytes", limit)
+        config.set("tpu.sparse_split_phases", split)
+        config.set("tpu.sparse_pipelined_gather", pipeline)
         dataset = Dataset.create(config)
         job = TrainingJob.create(config, dataset)
         job.run()
         return job
 
-    dense = run("never", 1 << 30)
-    fused = run("always", 1 << 30)
-    split = run("always", 1024)  # toy table (> 1 KiB) forces split mode
-    assert not fused._sparse_split
+    dense = run("never")
+    fused = run("always")
+    split = run("always", split="always")
+    pipe = run("always", pipeline="always")
+    assert not fused._sparse_split and not fused._sparse_pipeline
     assert split._sparse_split
+    assert pipe._sparse_pipeline and not pipe._sparse_split
     assert split._sparse_paths == (
         "entity_embedder.weights", "relation_embedder.weights"
     )
     assert split._steps_per_dispatch() == 1
     for ref_job in (dense, fused):
-        for r, s in zip(_tables(ref_job), _tables(split)):
-            np.testing.assert_allclose(r, s, atol=5e-6)
+        for variant in (split, pipe):
+            for r, s in zip(_tables(ref_job), _tables(variant)):
+                np.testing.assert_allclose(r, s, atol=5e-6)
 
 
 def test_vocab_sharding_escapes_scatter_limit():
-    """Over the scatter-limit cap the auto heuristic keeps sparse
-    updates but switches to pipelined split phases; vocab sharding
-    (tpu.mesh.model) that brings each shard under the cap restores the
-    fused single-program form. Both escapes from the v5e 1 GiB
-    fused-scatter fault must match the dense single-device
-    trajectory (exercised here at a scaled-down cap)."""
+    """Sparse applicability never depends on the scatter limit: over the
+    cap (unsharded) sparse updates stay on in the plain fused form (the
+    in-place alternatives are gated off by the current platform fault —
+    see tpu.sparse_pipelined_gather); forcing the pipelined-gather form
+    must give the identical trajectory; under a vocab-sharding mesh the
+    per-shard tables are small and the fused form is kept. Every variant
+    matches the dense single-device trajectory (exercised at a
+    scaled-down cap)."""
     from kge_tpu import Dataset
     from kge_tpu.train.train import TrainingJob
 
-    def run(mesh, sparse="auto", limit=30000):
+    def run(mesh, sparse="auto", limit=30000, pipeline="auto"):
         config = create_config("toy", model="complex")
         config.set("console.quiet", True)
         config.set("lookup_embedder.dim", 16)
@@ -205,6 +229,7 @@ def test_vocab_sharding_escapes_scatter_limit():
         config.set("tpu.mesh.model", mesh[1])
         config.set("tpu.sparse_updates", sparse)
         config.set("tpu.sparse_scatter_limit_bytes", limit)
+        config.set("tpu.sparse_pipelined_gather", pipeline)
         # synthetic 900-entity graph: big enough for the 32x
         # vocab/touched-rows crossover check to pass
         n, ks = 900, (1, 2, 5)
@@ -222,20 +247,28 @@ def test_vocab_sharding_escapes_scatter_limit():
         return job
 
     # unsharded: padded 900-entity table (16 dims, f32) > 30000 bytes
-    # -> sparse stays on, in pipelined split-phase form
+    # -> sparse stays on, plain fused form (auto pipeline gated off)
     job = run((1, 1))
     assert job._sparse_paths == (
         "entity_embedder.weights", "relation_embedder.weights"
     )
-    assert job._sparse_split
-    # model=2 mesh: each vocab shard is under the cap -> fused form
+    assert not job._sparse_split and not job._sparse_pipeline
+    e_bytes = job.model.get_s_embedder().padded_vocab_size * 16 * 4
+    assert e_bytes > 30000
+    # forced pipelined-gather form: REALLY runs here (incl. the
+    # epoch-end dummy-batch flush) and must match bit-for-math
+    piped = run((1, 1), pipeline="always")
+    assert piped._sparse_pipeline
+    assert piped._steps_per_dispatch() == 1
+    # model=2 mesh: per-shard tables are small -> plain fused form
     sharded = run((4, 2))
     assert sharded._sparse_paths == (
         "entity_embedder.weights", "relation_embedder.weights"
     )
     assert not sharded._sparse_split
+    assert not sharded._sparse_pipeline
     dense = run((1, 1), sparse="never", limit=1 << 30)
-    for other in (job, sharded):
+    for other in (job, piped, sharded):
         np.testing.assert_allclose(
             np.asarray(other.params["entity_embedder"]["weights"])[:900],
             np.asarray(dense.params["entity_embedder"]["weights"])[:900],
