@@ -20,8 +20,10 @@ def measure_steps(job, steps: int = 32, distinct_batches: int = 8):
     import jax
     import jax.numpy as jnp
 
-    if (getattr(job, "_sparse_split", False)
-            or getattr(job, "_sparse_pipeline", False)):
+    if getattr(job, "_sparse_host_loop_only", lambda: False)():
+        # sparse steps over the scatter limit must not scan (the carry
+        # would make the row scatters in-place on multi-GiB buffers —
+        # the v5e platform fault); time the real per-dispatch host loop
         return _measure_pipelined_steps(job, steps, distinct_batches)
 
     step_fn = job._make_step_fn()
@@ -108,6 +110,7 @@ def _measure_pipelined_steps(job, steps: int, distinct_batches: int):
         )
     final_loss = float(metrics["avg_loss"])  # forces the chain
     elapsed = _time.perf_counter() - t0
-    params, opt_state = step.flush_pipeline(params, opt_state, lrs)
+    if hasattr(step, "flush_pipeline"):
+        params, opt_state = step.flush_pipeline(params, opt_state, lrs)
     job.params, job.opt_state, job.model_state = params, opt_state, state
     return elapsed / steps, final_loss

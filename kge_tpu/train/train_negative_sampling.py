@@ -609,10 +609,29 @@ class TrainingJobNegativeSampling(TrainingJob):
         step.pipeline_phases = {"pstep": pstep_j, "fstep": fstep_j}
         return step
 
+    def _sparse_host_loop_only(self) -> bool:
+        """True when train steps must dispatch one at a time instead of
+        scanning k into one compiled program: a lax.scan CARRIES the
+        tables, which turns the row scatters into in-place updates of
+        the multi-GiB buffers inside a large program — exactly the
+        current v5e runtime's crash profile (docs/STATUS.md round 4;
+        this is also what the round-3 '>1 GiB fused scatter fault'
+        actually was). Per-dispatch steps keep XLA's copying scatters,
+        which run reliably. Small tables (under the scatter limit, e.g.
+        per-shard under a mesh) scan fine."""
+        if not self._sparse_paths:
+            return False
+        if self._sparse_split or self._sparse_pipeline:
+            return True  # host-side pending state between steps
+        dim = self.model.get_s_embedder().dim
+        e_pad = self.model.get_s_embedder().padded_vocab_size
+        shards = self.mesh.shape["model"] if self.mesh else 1
+        limit = int(self.config.get("tpu.sparse_scatter_limit_bytes"))
+        return e_pad * dim * 4 // shards > limit
+
     def _steps_per_dispatch(self) -> int:
-        if self._sparse_paths and (self._sparse_split
-                                   or self._sparse_pipeline):
-            return 1  # host-side pending state between steps
+        if self._sparse_host_loop_only():
+            return 1
         return super()._steps_per_dispatch()
 
     def _prepare(self):
@@ -853,7 +872,19 @@ class TrainingJobNegativeSampling(TrainingJob):
                             batch.get(f"negatives_{key}"))
             (rel_parts if slot == P else ent_parts).append(arr.reshape(-1))
 
-        def uniquify(parts, size, fill):
+        def uniquify(parts, size, vocab_pad):
+            """Sorted id vector of exactly ``size`` DISTINCT in-range
+            ids: the batch's real unique ids plus fill ids drawn from
+            the top of the (padded) vocabulary, skipping real ids. Fill
+            rows are never referenced by the remapped batch, so their
+            gradients are exactly zero and the row update adds 0 to
+            them — harmless even when they are real entities. Distinct
+            (rather than repeated) fill ids matter on TPU: a sorted
+            scatter with a long duplicate run inside the fused train
+            program faults the current v5e runtime (docs/STATUS.md
+            round 4), and the in-place Pallas row kernel's revisit
+            logic also becomes trivially safe without duplicate
+            blocks."""
             uniq = np.unique(np.concatenate(parts))
             if len(uniq) > size:
                 raise AssertionError(
@@ -861,21 +892,24 @@ class TrainingJobNegativeSampling(TrainingJob):
                     "(bug in _touched_row_counts)"
                 )
             if len(uniq) < size:
-                uniq = np.concatenate([
-                    uniq, np.full(size - len(uniq), fill, uniq.dtype)
-                ])
+                n = size - len(uniq)
+                window = np.arange(max(vocab_pad - size - n, 0),
+                                   vocab_pad, dtype=uniq.dtype)
+                fill = np.setdiff1d(window, uniq)[-n:]
+                uniq = np.sort(np.concatenate([uniq, fill]))
             return uniq.astype(np.int32)
 
-        uniq_e = uniquify(ent_parts, u_e, e_pad - 1)
-        uniq_r = uniquify(rel_parts, u_r, r_pad - 1)
-        # map each id to the LAST position of its equal run (the fill id
-        # can collide with a real id, making a duplicate run): the real
-        # gradient then lands on the run's final position, so the
-        # in-place Pallas row kernel — whose earlier duplicate steps may
-        # write back stale pre-update rows under DMA pipelining — is
-        # correct by construction. Equal-id rows are identical, so the
-        # forward gather is unaffected; XLA's scatter-add is
-        # position-agnostic across equal ids.
+        uniq_e = uniquify(ent_parts, u_e, e_pad)
+        uniq_r = uniquify(rel_parts, u_r, r_pad)
+        # uniq is strictly unique (distinct fill ids above), so every
+        # equal run has length 1 and side='left' and side='right'-1
+        # agree; the 'right' form is kept as defense in depth — if
+        # duplicates ever reappear, the real gradient lands on the
+        # run's FINAL position, which keeps the in-place Pallas row
+        # kernel (whose earlier duplicate steps may write back stale
+        # pre-update rows under DMA pipelining) correct by
+        # construction. XLA's scatter-add is position-agnostic across
+        # equal ids either way.
         remap_e = lambda a: (
             np.searchsorted(uniq_e, a, side="right") - 1
         ).astype(np.int32)
