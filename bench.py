@@ -18,12 +18,21 @@ vs_baseline is reported against a fixed reference point of 20k
 triples/s (a PyTorch V100-class figure for this workload in
 LibKGE-style loops); higher is better.
 
-Prints ONE JSON line: the FB15k-237 headline metric plus w5m_* fields
-for the bandwidth-bound regime.
+BLAST-RADIUS CONTROL: every section (fb headline, w5m, e2e epoch, eval,
+each GNN family) runs in its OWN subprocess emitting one JSON line; the
+parent merges the lines. A TPU-backend crash in one section therefore
+costs that section's fields only, never the rest (round 4 lost ten
+metrics to one W5M-section crash because all sections shared a
+process/backend). Run one section directly with
+``python bench.py --section NAME``.
+
+Prints ONE JSON line: the FB15k-237 headline metric plus the section
+fields; failed sections appear as ``<section>_error`` strings.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -31,6 +40,20 @@ import numpy as np
 
 
 REFERENCE_TRIPLES_PER_S = 20_000.0
+
+# (name, timeout seconds). Each section gets a FRESH process and
+# therefore a fresh backend with no dispatch history — the round-4
+# w5m FAILED_PRECONDITION was dispatch-history-sensitive (it appeared
+# only after the FB15k section had run in the same process).
+SECTIONS = (
+    ("fb", 900),
+    ("w5m", 1500),
+    ("epoch", 900),
+    ("eval", 1500),
+    ("gnn_compgcn", 900),
+    ("gnn_rgcn", 900),
+    ("gnn_ragat", 900),
+)
 
 
 def build_synthetic_dataset(config, num_entities=14541, num_relations=237,
@@ -80,8 +103,11 @@ def _negsamp_config(dim=128):
 
 
 def bench_negsamp(num_entities, num_relations, num_triples, steps,
-                  distinct_batches, dim=128):
-    """(sec_per_step, roofline dict) for one NegSamp training shape."""
+                  distinct_batches, dim=128, repeats=1):
+    """(triples/s, sec_per_step, roofline dict, all_secs) for one
+    NegSamp training shape. With repeats > 1 the timed run repeats and
+    sec_per_step is the MEDIAN, so the JSON carries its own noise bar
+    (min/median/max over repeats)."""
     from kge_tpu.train.train import TrainingJob
     from harness import measure_steps
     from roofline import (
@@ -97,8 +123,8 @@ def bench_negsamp(num_entities, num_relations, num_triples, steps,
     job = TrainingJob.create(config, dataset)
     job._prepare()
     job._is_prepared = True
-    sec_per_step, _ = measure_steps(
-        job, steps=steps, distinct_batches=distinct_batches
+    sec_per_step, _, all_secs = measure_steps(
+        job, steps=steps, distinct_batches=distinct_batches, repeats=repeats
     )
     if job._sparse_paths:
         # sparse regime: the honest byte model counts TOUCHED rows, not
@@ -117,7 +143,7 @@ def bench_negsamp(num_entities, num_relations, num_triples, steps,
         sec_per_step,
     )
     rl["sparse_updates"] = bool(job._sparse_paths)
-    return job.batch_size / sec_per_step, sec_per_step, rl
+    return job.batch_size / sec_per_step, sec_per_step, rl, all_secs
 
 
 def _require_tpu_or_die(timeout_s: float = 180.0):
@@ -154,97 +180,162 @@ def _require_tpu_or_die(timeout_s: float = 180.0):
         os._exit(3)
 
 
-def main():
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
-    _require_tpu_or_die()
+# --------------------------------------------------------------------- sections
 
-    # regime 1: FB15k-237 scale (latency-bound; most-published configs)
-    fb_tps, fb_sec, fb_rl = bench_negsamp(
+
+def section_fb():
+    """FB15k-237-scale headline (latency-bound regime), with repeat-run
+    spread so a delta vs earlier rounds is distinguishable from tunnel
+    noise."""
+    tps, sec, rl, secs = bench_negsamp(
         num_entities=14541, num_relations=237, num_triples=272115,
-        steps=64, distinct_batches=8,
+        steps=64, distinct_batches=8, repeats=5,
     )
+    ms = sorted(s * 1e3 for s in secs)
+    return {
+        "value": round(tps, 1),
+        "vs_baseline": round(tps / REFERENCE_TRIPLES_PER_S, 3),
+        **rl,
+        "headline_step_ms_min": round(ms[0], 4),
+        "headline_step_ms_median": round(ms[len(ms) // 2], 4),
+        "headline_step_ms_max": round(ms[-1], 4),
+        "headline_repeats": len(ms),
+    }
 
-    # regime 2: Wikidata5M scale (bandwidth-bound; 2.3 GiB entity table,
-    # dense Adagrad passes dominate). Fewer steps: each one moves ~14 GB.
-    # Guarded: a failure here must not lose the headline metric line.
-    extras = {}
-    try:
-        w5m_tps, w5m_sec, w5m_rl = bench_negsamp(
-            num_entities=4_818_679, num_relations=828, num_triples=500_000,
-            steps=16, distinct_batches=4,
-        )
-        extras.update({
-            "w5m_train_triples_per_s": round(w5m_tps, 1),
-            "w5m_step_ms": round(w5m_sec * 1e3, 2),
-            "w5m_achieved_GBps": w5m_rl["achieved_GBps"],
-            "w5m_pct_hbm_roofline": w5m_rl["pct_hbm_roofline"],
-            "w5m_entity_table_GiB": round(4_818_679 * 128 * 4 / 2 ** 30, 2),
-        })
-    except Exception as e:
-        print(f"bench: W5M section skipped: {e!r}", file=sys.stderr)
 
-    # end-to-end epoch loop at FB15k-237 scale (host collate + transfer
-    # + grouped dispatch + compiled steps): the number a user's wall
-    # clock sees, where host-side batch prep can hide the device's
-    # speed. Same guard.
-    try:
-        from bench_epoch import measure as measure_epoch
+def section_w5m():
+    """Wikidata5M scale (bandwidth-bound; 2.3 GiB entity table). Runs
+    the auto-engaged row-sparse path; fewer steps (each one at w5m
+    dense scale moves ~14 GB)."""
+    tps, sec, rl, secs = bench_negsamp(
+        num_entities=4_818_679, num_relations=828, num_triples=500_000,
+        steps=16, distinct_batches=4, repeats=3,
+    )
+    ms = sorted(s * 1e3 for s in secs)
+    return {
+        "w5m_train_triples_per_s": round(tps, 1),
+        "w5m_step_ms": round(sec * 1e3, 2),
+        "w5m_step_ms_min": round(ms[0], 2),
+        "w5m_step_ms_max": round(ms[-1], 2),
+        "w5m_achieved_GBps": rl["achieved_GBps"],
+        "w5m_pct_hbm_roofline": rl["pct_hbm_roofline"],
+        "w5m_sparse_updates": rl["sparse_updates"],
+        "w5m_entity_table_GiB": round(4_818_679 * 128 * 4 / 2 ** 30, 2),
+    }
 
-        ep = measure_epoch(group=4)
-        extras.update({
-            "e2e_epoch_triples_per_s": ep["value"],
-            "e2e_ms_per_batch": ep["ms_per_batch"],
-        })
-    except Exception as e:
-        print(f"bench: epoch section skipped: {e!r}", file=sys.stderr)
 
-    # entity-ranking eval throughput, BOTH paths (generic chunked vs
-    # fused Pallas) with an HBM roofline anchor and a w5m-scale fused
-    # number (2.3 GiB candidate table). Same guard.
-    try:
-        from bench_eval import measure as measure_eval
+def section_epoch():
+    """End-to-end epoch loop at FB15k-237 scale (host collate +
+    transfer + grouped dispatch + compiled steps): the number a user's
+    wall clock sees."""
+    from bench_epoch import measure as measure_epoch
 
-        ev = measure_eval()
-        extras.update({
-            "eval_queries_per_s": ev["eval_queries_per_s_fused"],
-            "eval_queries_per_s_generic": ev["eval_queries_per_s_generic"],
-            "eval_pct_hbm_roofline": ev["eval_pct_hbm_roofline"],
-            "eval_w5m_queries_per_s": ev["eval_w5m_queries_per_s_fused"],
-            "eval_w5m_pct_hbm_roofline": ev["eval_w5m_pct_hbm_roofline"],
-        })
-    except Exception as e:
-        print(f"bench: eval section skipped: {e!r}", file=sys.stderr)
+    ep = measure_epoch(group=4)
+    return {
+        "e2e_epoch_triples_per_s": ep["value"],
+        "e2e_ms_per_batch": ep["ms_per_batch"],
+    }
 
-    # regime 3: full-graph message passing for all three GNN layer
-    # families (bandwidth-bound segment ops), same guard per family.
+
+def section_eval():
+    """Entity-ranking eval throughput, generic chunked vs fused Pallas,
+    plus the w5m-scale fused number (2.3 GiB candidate table)."""
+    from bench_eval import measure as measure_eval
+
+    ev = measure_eval()
+    return {
+        "eval_queries_per_s": ev["eval_queries_per_s_fused"],
+        "eval_queries_per_s_generic": ev["eval_queries_per_s_generic"],
+        "eval_pct_hbm_roofline": ev["eval_pct_hbm_roofline"],
+        "eval_w5m_queries_per_s": ev["eval_w5m_queries_per_s_fused"],
+        "eval_w5m_pct_hbm_roofline": ev["eval_w5m_pct_hbm_roofline"],
+    }
+
+
+def _section_gnn(fam):
     from bench_gnn import measure as measure_gnn
 
-    for fam in ("compgcn", "rgcn", "ragat"):
-        try:
-            g = measure_gnn(model=fam)
-            if fam == "compgcn":
-                extras.update({
-                    "gnn_edges_per_s": g["value"],
-                    "gnn_step_ms": g["step_ms"],
-                    "gnn_pct_hbm_roofline": g["pct_hbm_roofline"],
-                })
-            else:
-                extras.update({
-                    f"gnn_{fam}_edges_per_s": g["value"],
-                    f"gnn_{fam}_step_ms": g["step_ms"],
-                })
-        except Exception as e:
-            print(f"bench: GNN {fam} section skipped: {e!r}",
-                  file=sys.stderr)
+    g = measure_gnn(model=fam)
+    if fam == "compgcn":
+        return {
+            "gnn_edges_per_s": g["value"],
+            "gnn_step_ms": g["step_ms"],
+            "gnn_pct_hbm_roofline": g["pct_hbm_roofline"],
+        }
+    return {
+        f"gnn_{fam}_edges_per_s": g["value"],
+        f"gnn_{fam}_step_ms": g["step_ms"],
+    }
 
-    print(json.dumps({
+
+def run_section(name):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+    _require_tpu_or_die()
+    if name == "fb":
+        fields = section_fb()
+    elif name == "w5m":
+        fields = section_w5m()
+    elif name == "epoch":
+        fields = section_epoch()
+    elif name == "eval":
+        fields = section_eval()
+    elif name.startswith("gnn_"):
+        fields = _section_gnn(name[len("gnn_"):])
+    else:
+        raise SystemExit(f"unknown section {name!r}")
+    print(json.dumps(fields), flush=True)
+
+
+# --------------------------------------------------------------------- parent
+
+
+def _run_isolated(name, timeout):
+    """Run one section in a fresh subprocess; return its JSON fields or
+    an ``<name>_error`` field. The parent never imports jax, so the TPU
+    is exclusively the child's."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--section", name]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return {f"{name}_error": f"timeout after {timeout}s"}
+    parsed = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+            except ValueError:
+                pass
+    if proc.returncode != 0 or parsed is None:
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        brief = tail[-1][:300] if tail else "no output"
+        print(f"bench: section {name} failed (rc={proc.returncode}): "
+              f"{brief}", file=sys.stderr)
+        return {f"{name}_error": f"rc={proc.returncode}: {brief}"}
+    return parsed
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        run_section(sys.argv[2])
+        return
+
+    merged = {
         "metric": "train_triples_per_s_complex_negsamp_fb15k237_scale",
-        "value": round(fb_tps, 1),
+        "value": 0.0,
         "unit": "triples/s/chip",
-        "vs_baseline": round(fb_tps / REFERENCE_TRIPLES_PER_S, 3),
-        **fb_rl,
-        **extras,
-    }))
+        "vs_baseline": 0.0,
+    }
+    for name, timeout in SECTIONS:
+        t0 = time.perf_counter()
+        fields = _run_isolated(name, timeout)
+        print(f"bench: section {name} done in "
+              f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+        merged.update(fields)
+    print(json.dumps(merged), flush=True)
 
 
 if __name__ == "__main__":

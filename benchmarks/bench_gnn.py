@@ -58,7 +58,7 @@ def measure(model="compgcn", dim=200, num_entities=14541,
 
     from harness import measure_steps
 
-    sec_per_step, _ = measure_steps(job, steps=steps, distinct_batches=4)
+    sec_per_step, _, _ = measure_steps(job, steps=steps, distinct_batches=4)
     # the encoder touches every edge (x2 for inverses) per layer per step
     num_layers = config.get(f"{model}.encoder.num_layers")
     edges_per_step = num_triples * 2 * num_layers

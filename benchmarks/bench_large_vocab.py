@@ -44,7 +44,7 @@ def main(num_entities=500_000, num_relations=500, num_triples=300_000,
     job = TrainingJob.create(config, dataset)
     job._prepare()
     job._is_prepared = True
-    sec, _ = measure_steps(job, steps=32, distinct_batches=4)
+    sec, _, _ = measure_steps(job, steps=32, distinct_batches=4)
     print(json.dumps({
         "metric": f"train_triples_per_s_complex_negsamp_V{num_entities}",
         "value": round(job.batch_size / sec, 1),

@@ -49,7 +49,7 @@ def main(num_entities=4_818_679, dim=128):
 
     from harness import measure_steps
 
-    sec_per_step, _ = measure_steps(job, steps=16, distinct_batches=4)
+    sec_per_step, _, _ = measure_steps(job, steps=16, distinct_batches=4)
     train_tps = job.batch_size / sec_per_step
 
     # fused entity-ranking eval over all 4.8M candidates

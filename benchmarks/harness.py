@@ -15,8 +15,13 @@ from typing import Dict
 import numpy as np
 
 
-def measure_steps(job, steps: int = 32, distinct_batches: int = 8):
-    """Returns (seconds_per_step, final_loss)."""
+def measure_steps(job, steps: int = 32, distinct_batches: int = 8,
+                  repeats: int = 1):
+    """Returns (seconds_per_step, final_loss, all_secs_per_step).
+
+    ``repeats`` re-runs the timed measurement; seconds_per_step is the
+    MEDIAN and ``all_secs_per_step`` carries every repeat, so callers
+    can report a noise bar next to the throughput."""
     import jax
     import jax.numpy as jnp
 
@@ -24,7 +29,8 @@ def measure_steps(job, steps: int = 32, distinct_batches: int = 8):
         # sparse steps over the scatter limit must not scan (the carry
         # would make the row scatters in-place on multi-GiB buffers —
         # the v5e platform fault); time the real per-dispatch host loop
-        return _measure_pipelined_steps(job, steps, distinct_batches)
+        return _measure_pipelined_steps(job, steps, distinct_batches,
+                                        repeats)
 
     step_fn = job._make_step_fn()
     gen = job._generate_batches(1)
@@ -63,18 +69,21 @@ def measure_steps(job, steps: int = 32, distinct_batches: int = 8):
         job.params, job.opt_state, job.model_state, stacked, lrs, rng
     )
     float(loss)
-    # timed run
-    t0 = time.perf_counter()
-    params, opt_state, state, loss = fn(
-        params, opt_state, state, stacked, lrs, rng
-    )
-    final_loss = float(loss)  # forces execution + transfer of one scalar
-    elapsed = time.perf_counter() - t0
+    # timed runs
+    secs = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        params, opt_state, state, loss = fn(
+            params, opt_state, state, stacked, lrs, rng
+        )
+        final_loss = float(loss)  # forces execution + scalar transfer
+        secs.append((time.perf_counter() - t0) / steps)
     job.params, job.opt_state, job.model_state = params, opt_state, state
-    return elapsed / steps, final_loss
+    return sorted(secs)[len(secs) // 2], final_loss, secs
 
 
-def _measure_pipelined_steps(job, steps: int, distinct_batches: int):
+def _measure_pipelined_steps(job, steps: int, distinct_batches: int,
+                             repeats: int = 1):
     """Pipelined split-sparse steps (two programs per step) cannot scan
     into one compiled dispatch; time the real host loop instead. The
     final scalar fetch forces the whole dependency chain, so
@@ -102,15 +111,19 @@ def _measure_pipelined_steps(job, steps: int, distinct_batches: int):
             lrs, jax.random.fold_in(rng, i),
         )
     float(metrics["avg_loss"])
-    t0 = _time.perf_counter()
-    for i in range(steps):
-        params, opt_state, state, metrics = step(
-            params, opt_state, state, dev_batches[i % distinct_batches],
-            lrs, jax.random.fold_in(rng, 2 + i),
-        )
-    final_loss = float(metrics["avg_loss"])  # forces the chain
-    elapsed = _time.perf_counter() - t0
+    secs = []
+    fold = 2
+    for _ in range(max(1, repeats)):
+        t0 = _time.perf_counter()
+        for i in range(steps):
+            params, opt_state, state, metrics = step(
+                params, opt_state, state, dev_batches[i % distinct_batches],
+                lrs, jax.random.fold_in(rng, fold + i),
+            )
+        final_loss = float(metrics["avg_loss"])  # forces the chain
+        secs.append((_time.perf_counter() - t0) / steps)
+        fold += steps
     if hasattr(step, "flush_pipeline"):
         params, opt_state = step.flush_pipeline(params, opt_state, lrs)
     job.params, job.opt_state, job.model_state = params, opt_state, state
-    return elapsed / steps, final_loss
+    return sorted(secs)[len(secs) // 2], final_loss, secs

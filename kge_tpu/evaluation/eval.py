@@ -46,7 +46,13 @@ class EvaluationJob(TrainingOrEvaluationJob):
 
     def _current_params(self):
         if self._training_job is not None:
-            return self._training_job.params, self._training_job.model_state
+            # chunked sparse tables concatenate back into whole [V, D]
+            # tables for eval (model forwards gather from whole tables;
+            # the concat is a read-only dense op, safe at any size)
+            return (
+                self._training_job.dechunk_params(self._training_job.params),
+                self._training_job.model_state,
+            )
         if self.params is None:
             raise ValueError(
                 "no parameters: call set_params() or share_params() first"

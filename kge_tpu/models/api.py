@@ -366,8 +366,12 @@ class KgeModel(KgeBase):
         if isinstance(job, TrainingJob):
             def append_num_parameters(job_):
                 if job_.current_trace.get("epoch") is not None:
+                    # dechunk first: chunk-tail padding rows would
+                    # otherwise inflate the traced count
                     job_.current_trace["epoch"]["num_parameters"] = (
-                        self.num_parameters(job_.params)
+                        self.num_parameters(
+                            job_.dechunk_params(job_.params)
+                        )
                     )
 
             job.post_epoch_hooks.append(append_num_parameters)

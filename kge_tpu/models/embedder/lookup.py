@@ -41,9 +41,10 @@ class LookupEmbedder(KgeEmbedder):
         # in-place sparse row kernel addresses the table in full 8-row
         # blocks, ops/pallas/row_update.py, and a partial trailing block
         # would be an overhanging aliased write). Padded rows are
-        # zero-initialized and sliced off by embed_all; with padding
-        # present, the sparse fill id lands on a pad row that no real id
-        # can collide with.
+        # zero-initialized and sliced off by embed_all. The sparse
+        # uniquify fill ids are distinct UNREFERENCED ids (pad rows when
+        # padding exists; otherwise real-but-absent top-of-vocab ids) —
+        # safe either way because fill rows carry exactly zero gradient.
         try:
             model_axis = max(1, config.get("tpu.mesh.model"))
         except KeyError:

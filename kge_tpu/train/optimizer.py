@@ -187,24 +187,36 @@ class KgeOptimizer:
             _path_str(path)
             for path, _ in jax.tree_util.tree_flatten_with_path(params_example)[0]
         ]
-        labels_flat = []      # transform labels ("__sparse__" leaves opt out)
-        lr_labels_flat = []   # group labels for learning rates
-        for path in paths:
+        def is_sparse(path: str) -> bool:
+            # row-chunked tables are TUPLES of chunks (train/chunking.py)
+            # whose leaves flatten to "<table path>.<chunk index>"
+            return path in self.sparse_paths or any(
+                path.startswith(sp + ".") for sp in self.sparse_paths
+            )
+
+        def group_of(path: str) -> str:
             matched = [name for name, rx, _ in group_specs if rx.search(path)]
             if len(matched) > 1:
                 raise ValueError(
                     f"parameter {path} matched by multiple optimizer groups: "
                     f"{matched}"
                 )
-            group = matched[0] if matched else "default"
+            return matched[0] if matched else "default"
+
+        labels_flat = []      # transform labels ("__sparse__" leaves opt out)
+        lr_labels_flat = []   # group labels for learning rates
+        for path in paths:
+            group = group_of(path)
             lr_labels_flat.append(group)
-            labels_flat.append(
-                "__sparse__" if path in self.sparse_paths else group
-            )
+            labels_flat.append("__sparse__" if is_sparse(path) else group)
         treedef = jax.tree_util.tree_structure(params_example)
         self._labels = jax.tree_util.tree_unflatten(treedef, labels_flat)
         self._lr_labels = jax.tree_util.tree_unflatten(treedef, lr_labels_flat)
         self._lr_label_by_path = dict(zip(paths, lr_labels_flat))
+        for sp in self.sparse_paths:
+            # chunked tables have no flattened leaf at the base path;
+            # sparse_row_update still keys its lr group on it
+            self._lr_label_by_path.setdefault(sp, group_of(sp))
 
         # per-group transforms + base learning rates
         transforms: Dict[str, optax.GradientTransformation] = {}
@@ -242,7 +254,13 @@ class KgeOptimizer:
                         "initial_accumulator_value", 0.0
                     )
                 )
-                sparse[path] = {"sum": jnp.full_like(leaf, initial)}
+                # leaf is one [V, D] array or (chunked tables) a tuple
+                # of chunks; the accumulator mirrors its structure
+                sparse[path] = {
+                    "sum": jax.tree_util.tree_map(
+                        lambda a: jnp.full_like(a, initial), leaf
+                    )
+                }
             else:  # plain sgd: stateless
                 sparse[path] = {}
         return {"tx": tx_state, "sparse": sparse}
@@ -285,6 +303,43 @@ class KgeOptimizer:
         group = self._lr_label_by_path[path]
         lr = lrs[group]
         args = self._group_args[group]
+        if isinstance(table, tuple):
+            # row-chunked table (train/chunking.py): per-chunk masked
+            # update. ``uniq`` stays global and sorted; each chunk sees
+            # local indices (global - chunk offset). Indices past the
+            # chunk end are DROPPED by mode="drop", but NEGATIVE indices
+            # would WRAP (numpy semantics — drop mode only drops >= size),
+            # so they clamp to 0 and their update values are masked to
+            # zero instead; the clamped prefix keeps the vector sorted
+            # (0...0, then increasing).
+            eps = float(args.get("eps", 1e-10))
+            rows_c = table[0].shape[0]
+            new_chunks, new_sums = [], []
+            sums = sparse_state.get("sum")
+            for k, chunk in enumerate(table):
+                local = uniq - k * rows_c
+                idx = jnp.maximum(local, 0)
+                mask = (local >= 0).astype(row_grads.dtype)[:, None]
+                g = row_grads * mask
+                if self._opt_type == "adagrad":
+                    sum_rows = jnp.take(
+                        sums[k], jnp.clip(local, 0, rows_c - 1), axis=0
+                    )
+                    new_sum_rows = sum_rows + row_grads * row_grads
+                    update = row_grads / (jnp.sqrt(new_sum_rows) + eps)
+                    new_sums.append(sums[k].at[idx].add(
+                        g * row_grads, indices_are_sorted=True,
+                        mode="drop",
+                    ))
+                else:
+                    update = row_grads
+                new_chunks.append(chunk.at[idx].add(
+                    -lr * update * mask, indices_are_sorted=True,
+                    mode="drop",
+                ))
+            if self._opt_type == "adagrad":
+                return tuple(new_chunks), {"sum": tuple(new_sums)}
+            return tuple(new_chunks), sparse_state
         if in_place:
             from kge_tpu.ops.pallas.row_update import (
                 adagrad_row_update, sgd_row_update

@@ -203,9 +203,29 @@ class TrainingJob(TrainingOrEvaluationJob):
                 f"Using mesh {dict(self.mesh.shape)} over "
                 f"{self.mesh.devices.size} devices"
             )
+        # row-chunked tables for sparse training: _sparse_table_paths
+        # (strategy override) fills _table_chunks when a table exceeds
+        # tpu.sparse_scatter_limit_bytes (see train/chunking.py)
+        self._table_chunks: Dict[str, int] = {}
+        self._table_rows: Dict[str, int] = {}
         self._sparse_paths = () if forward_only else tuple(
             self._sparse_table_paths()
         )
+        if self._chunked():
+            from kge_tpu.train.chunking import chunk_tree
+
+            for path in self._table_chunks:
+                node = self.params
+                for part in path.split("."):
+                    node = node[part]
+                self._table_rows[path] = int(node.shape[0])
+            with jax.default_device(self.device):
+                self.params = chunk_tree(self.params, self._table_chunks)
+            config.log(
+                "Row-chunked sparse tables: "
+                + ", ".join(f"{p} x{k}"
+                            for p, k in self._table_chunks.items() if k > 1)
+            )
         self.optimizer = KgeOptimizer(
             config, self.params, sparse_paths=self._sparse_paths
         )
@@ -266,6 +286,60 @@ class TrainingJob(TrainingOrEvaluationJob):
         row-sparse in this strategy (overridden by negative sampling);
         () keeps the fully dense optimizer path."""
         return ()
+
+    # ------------------------------------------------------------------ chunked tables
+
+    def _chunked(self) -> bool:
+        return any(k > 1 for k in self._table_chunks.values())
+
+    def dechunk_params(self, params):
+        """A de-chunked VIEW of (possibly chunked) params: chunk tuples
+        concatenated back into [V, D] tables. Identity when no table is
+        chunked. Used by eval (model forwards expect whole tables) and
+        checkpointing (the on-disk format stays un-chunked)."""
+        if not self._chunked():
+            return params
+        from kge_tpu.train.chunking import dechunk_tree
+
+        return dechunk_tree(params, self._table_chunks, self._table_rows)
+
+    def _chunk_params_tree(self, params):
+        if not self._chunked():
+            return params
+        from kge_tpu.train.chunking import chunk_tree
+
+        return chunk_tree(params, self._table_chunks)
+
+    def _dechunk_opt_state(self, opt_state):
+        if not self._chunked() or not opt_state:
+            return opt_state
+        from kge_tpu.train.chunking import dechunk_table
+
+        sparse = {
+            path: {
+                k: (dechunk_table(v, self._table_rows[path])
+                    if k == "sum" else v)
+                for k, v in st.items()
+            }
+            for path, st in opt_state["sparse"].items()
+        }
+        return {**opt_state, "sparse": sparse}
+
+    def _chunk_opt_state(self, opt_state):
+        if not self._chunked() or not opt_state:
+            return opt_state
+        from kge_tpu.train.chunking import chunk_table
+
+        sparse = {
+            path: {
+                k: (chunk_table(jnp.asarray(v),
+                                self._table_chunks.get(path, 1))
+                    if k == "sum" else v)
+                for k, v in st.items()
+            }
+            for path, st in opt_state["sparse"].items()
+        }
+        return {**opt_state, "sparse": sparse}
 
     def _prepare(self):
         """Subclasses set self.num_examples and any precomputed indexes."""
@@ -742,10 +816,12 @@ class TrainingJob(TrainingOrEvaluationJob):
 
         self.config.log(f"Saving checkpoint to {filename}...")
         # fetch_global is collective: every process gathers (aligned
-        # program order), only the primary touches the filesystem
-        params_np = dist.fetch_global(self.params)
+        # program order), only the primary touches the filesystem.
+        # Chunked tables de-chunk first: on-disk checkpoints always hold
+        # whole [V, D] tables (load-compatible across chunk settings)
+        params_np = dist.fetch_global(self.dechunk_params(self.params))
         state_np = dist.fetch_global(self.model_state)
-        opt_np = dist.fetch_global(self.opt_state)
+        opt_np = dist.fetch_global(self._dechunk_opt_state(self.opt_state))
         if not dist.is_primary():
             dist.barrier(f"save:{os.path.basename(filename)}")
             return
@@ -790,8 +866,11 @@ class TrainingJob(TrainingOrEvaluationJob):
             return jnp.asarray(arr)
 
         with jax.default_device(self.device):
+            # checkpoints hold whole tables; re-chunk to this job's live
+            # representation before the structural tree_map
             self.params = jax.tree_util.tree_map(
-                reshard, self.params, checkpoint["model"]["params"]
+                reshard, self.params,
+                self._chunk_params_tree(checkpoint["model"]["params"]),
             )
             state_np = checkpoint["model"].get("state", {})
             if (jax.tree_util.tree_structure(self.model_state)
@@ -806,7 +885,7 @@ class TrainingJob(TrainingOrEvaluationJob):
             if checkpoint.get("opt_state") is not None and not self.is_forward_only:
                 old_leaves = jax.tree_util.tree_leaves(self.opt_state)
                 new_leaves = jax.tree_util.tree_leaves(
-                    checkpoint["opt_state"]
+                    self._chunk_opt_state(checkpoint["opt_state"])
                 )
                 if len(old_leaves) != len(new_leaves):
                     raise ValueError(

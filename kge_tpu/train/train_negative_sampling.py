@@ -125,8 +125,10 @@ class TrainingJobNegativeSampling(TrainingJob):
             # (round-4 bisect: identical HLO runs clean standalone;
             # failure depends on dispatch history). The default at every
             # scale is the fused single program; past
-            # tpu.sparse_scatter_limit_bytes its XLA scatters hand over
-            # to the in-place Pallas row kernel (_use_row_kernel).
+            # tpu.sparse_scatter_limit_bytes its tables are stored as
+            # row CHUNKS, each under the limit (train/chunking.py), so
+            # the scatters stay in the sub-limit regime the platform
+            # handles in place and reliably.
             split = config.check(
                 "tpu.sparse_split_phases", ["auto", "always", "never"]
             )
@@ -164,6 +166,7 @@ class TrainingJobNegativeSampling(TrainingJob):
                         "supported under a device mesh"
                     )
                 self._sparse_pipeline = True
+            self._resolve_table_chunks()
         if reasons:
             if mode == "always":
                 raise ValueError(
@@ -177,6 +180,53 @@ class TrainingJobNegativeSampling(TrainingJob):
             return ()
         config.log("Using row-sparse embedding updates.")
         return ("entity_embedder.weights", "relation_embedder.weights")
+
+    def _resolve_table_chunks(self):
+        """Row-chunk tables that exceed tpu.sparse_scatter_limit_bytes
+        (train/chunking.py): each chunk is a separate sub-limit device
+        buffer, so the row scatters run in place and reliably at any
+        vocabulary scale — measured on v5e: the monolithic fused step
+        crashes the worker at 2.46 GiB while K-chunked forms run at
+        in-place speed per-dispatch AND scanned
+        (benchmarks/probe_chunked_sparse.py). Chunking therefore also
+        lifts the steps_per_dispatch=1 restriction (_sparse_host_loop_only).
+
+        ``tpu.sparse_table_chunks``: auto (split over-limit tables into
+        ceil(bytes/limit) chunks), never, or an explicit chunk count
+        (applied to both tables; used by CPU tests to exercise the
+        chunked path on small vocabularies)."""
+        import jax
+
+        config = self.config
+        raw = str(config.get("tpu.sparse_table_chunks")).strip()
+        if raw == "never" or self._sparse_split or self._sparse_pipeline:
+            return
+        if config.get("tpu.sparse_row_kernel") == "always":
+            return  # the in-place Pallas kernel is monolithic-only
+        if self.mesh is not None or jax.process_count() > 1:
+            return  # per-shard tables are already sub-limit (heuristic)
+        if raw != "auto":
+            try:
+                forced = int(raw)
+            except ValueError:
+                raise ValueError(
+                    "tpu.sparse_table_chunks must be auto, never, or a "
+                    f"chunk count; got {raw!r}"
+                )
+        limit = int(config.get("tpu.sparse_scatter_limit_bytes"))
+        from kge_tpu.train.chunking import num_chunks_for
+
+        for path, emb in (
+            ("entity_embedder.weights", self.model.get_s_embedder()),
+            ("relation_embedder.weights", self.model.get_p_embedder()),
+        ):
+            table_bytes = emb.padded_vocab_size * emb.dim * 4
+            if raw == "auto":
+                k = num_chunks_for(table_bytes, limit)
+            else:
+                k = max(1, forced)
+            if k > 1:
+                self._table_chunks[path] = k
 
     def _touched_row_counts(self):
         """Static (entity, relation) bounds on rows touched per batch."""
@@ -328,9 +378,12 @@ class TrainingJobNegativeSampling(TrainingJob):
             # is exactly the kind of whole-table buffer the v5e backend
             # fault is triggered by (tpu.sparse_scatter_limit_bytes)
             def placeholder(subtree):
+                import jax
+
                 return {
-                    k: (jnp.zeros(()) if k == "weights"
-                        else jnp.zeros_like(v))
+                    # chunked tables are tuples: one scalar per chunk
+                    k: (jax.tree_util.tree_map(lambda _: jnp.zeros(()), v)
+                        if k == "weights" else jnp.zeros_like(v))
                     for k, v in subtree.items()
                 }
 
@@ -376,15 +429,16 @@ class TrainingJobNegativeSampling(TrainingJob):
 
         def apply_and_gather(params, opt_state, uniq_e, uniq_r, grads,
                              next_uniq_e, next_uniq_r, lrs):
+            from kge_tpu.train.chunking import gather_rows
+
             new_params, new_opt_state = apply_phase(
                 params, opt_state, uniq_e, uniq_r, grads, lrs
             )
-            rows_e = jnp.take(
-                new_params["entity_embedder"]["weights"], next_uniq_e, axis=0
+            rows_e = gather_rows(
+                new_params["entity_embedder"]["weights"], next_uniq_e
             )
-            rows_r = jnp.take(
-                new_params["relation_embedder"]["weights"], next_uniq_r,
-                axis=0,
+            rows_r = gather_rows(
+                new_params["relation_embedder"]["weights"], next_uniq_r
             )
             return new_params, new_opt_state, rows_e, rows_r
 
@@ -396,12 +450,14 @@ class TrainingJobNegativeSampling(TrainingJob):
         apply_phase = self._sparse_update_fn(gather_next=False)
 
         def step(params, opt_state, model_state, batch, lrs, rng):
+            from kge_tpu.train.chunking import gather_rows
+
             uniq_e, uniq_r = batch["uniq_e"], batch["uniq_r"]
-            rows_e = jnp.take(
-                params["entity_embedder"]["weights"], uniq_e, axis=0
+            rows_e = gather_rows(
+                params["entity_embedder"]["weights"], uniq_e
             )
-            rows_r = jnp.take(
-                params["relation_embedder"]["weights"], uniq_r, axis=0
+            rows_r = gather_rows(
+                params["relation_embedder"]["weights"], uniq_r
             )
             grads, new_model_state, metrics = self._sparse_loss_grads(
                 rows_e, rows_r, params, model_state, batch, rng
@@ -541,13 +597,13 @@ class TrainingJobNegativeSampling(TrainingJob):
         apply_phase = self._sparse_update_fn(gather_next=False)
 
         def gather_loss(params, model_state, batch, rng):
-            rows_e = jnp.take(
-                params["entity_embedder"]["weights"], batch["uniq_e"],
-                axis=0,
+            from kge_tpu.train.chunking import gather_rows
+
+            rows_e = gather_rows(
+                params["entity_embedder"]["weights"], batch["uniq_e"]
             )
-            rows_r = jnp.take(
-                params["relation_embedder"]["weights"], batch["uniq_r"],
-                axis=0,
+            rows_r = gather_rows(
+                params["relation_embedder"]["weights"], batch["uniq_r"]
             )
             return self._sparse_loss_grads(
                 rows_e, rows_r, strip_tables(params), model_state, batch,
@@ -623,11 +679,21 @@ class TrainingJobNegativeSampling(TrainingJob):
             return False
         if self._sparse_split or self._sparse_pipeline:
             return True  # host-side pending state between steps
-        dim = self.model.get_s_embedder().dim
-        e_pad = self.model.get_s_embedder().padded_vocab_size
+        from kge_tpu.train.chunking import chunk_rows
+
         shards = self.mesh.shape["model"] if self.mesh else 1
         limit = int(self.config.get("tpu.sparse_scatter_limit_bytes"))
-        return e_pad * dim * 4 // shards > limit
+        per_buffer = []
+        for path, emb in (
+            ("entity_embedder.weights", self.model.get_s_embedder()),
+            ("relation_embedder.weights", self.model.get_p_embedder()),
+        ):
+            rows = emb.padded_vocab_size
+            k = self._table_chunks.get(path, 1)
+            if k > 1:
+                rows = chunk_rows(rows, k)
+            per_buffer.append(rows * emb.dim * 4 // shards)
+        return max(per_buffer) > limit
 
     def _steps_per_dispatch(self) -> int:
         if self._sparse_host_loop_only():

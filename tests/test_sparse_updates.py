@@ -46,9 +46,10 @@ def _run_training(sparse_mode, *, optimizer="Adagrad", shared=False,
 
 
 def _tables(job):
+    params = job.dechunk_params(job.params)  # chunked tables -> [V, D]
     return (
-        np.asarray(job.params["entity_embedder"]["weights"]),
-        np.asarray(job.params["relation_embedder"]["weights"]),
+        np.asarray(params["entity_embedder"]["weights"]),
+        np.asarray(params["relation_embedder"]["weights"]),
     )
 
 
@@ -247,7 +248,8 @@ def test_vocab_sharding_escapes_scatter_limit():
         return job
 
     # unsharded: padded 900-entity table (16 dims, f32) > 30000 bytes
-    # -> sparse stays on, plain fused form (auto pipeline gated off)
+    # -> sparse stays on, plain fused form with the table auto-CHUNKED
+    # into sub-limit row chunks (tpu.sparse_table_chunks auto)
     job = run((1, 1))
     assert job._sparse_paths == (
         "entity_embedder.weights", "relation_embedder.weights"
@@ -255,6 +257,10 @@ def test_vocab_sharding_escapes_scatter_limit():
     assert not job._sparse_split and not job._sparse_pipeline
     e_bytes = job.model.get_s_embedder().padded_vocab_size * 16 * 4
     assert e_bytes > 30000
+    assert job._table_chunks["entity_embedder.weights"] == -(-e_bytes // 30000)
+    assert isinstance(job.params["entity_embedder"]["weights"], tuple)
+    # chunked sub-limit buffers scan safely -> grouped dispatch allowed
+    assert not job._sparse_host_loop_only()
     # forced pipelined-gather form: REALLY runs here (incl. the
     # epoch-end dummy-batch flush) and must match bit-for-math
     piped = run((1, 1), pipeline="always")
@@ -269,8 +275,117 @@ def test_vocab_sharding_escapes_scatter_limit():
     assert not sharded._sparse_pipeline
     dense = run((1, 1), sparse="never", limit=1 << 30)
     for other in (job, piped, sharded):
+        other_params = other.dechunk_params(other.params)
         np.testing.assert_allclose(
-            np.asarray(other.params["entity_embedder"]["weights"])[:900],
+            np.asarray(other_params["entity_embedder"]["weights"])[:900],
             np.asarray(dense.params["entity_embedder"]["weights"])[:900],
             atol=1e-5,
         )
+
+
+def test_chunked_tables_match_dense():
+    """Row-chunked sparse tables (tpu.sparse_table_chunks, the
+    Wikidata5M-scale representation that keeps every scatter buffer
+    under tpu.sparse_scatter_limit_bytes) must reproduce the dense AND
+    the monolithic-sparse trajectories exactly. Forced chunk counts
+    exercise uneven tail chunks (toy vocab not divisible by K) and both
+    optimizers; validation runs in the loop so the eval-side dechunk
+    view is exercised too."""
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+
+    def run(sparse, chunks="never", optimizer="Adagrad", valid_every=0):
+        config = create_config("toy", model="complex")
+        config.set("console.quiet", True)
+        config.set("lookup_embedder.dim", 16)
+        config.set("train.type", "negative_sampling")
+        config.set("negative_sampling.num_samples.s", 5)
+        config.set("negative_sampling.num_samples.o", 7)
+        config.set("negative_sampling.shared", True)
+        config.set("negative_sampling.implementation", "batch")
+        config.set("train.batch_size", 32)
+        config.set("train.max_epochs", 3)
+        config.set("valid.every", valid_every)
+        config.set("random_seed.default", 11)
+        config.set("train.optimizer.default.type", optimizer)
+        config.set("train.optimizer.default.args.lr", 0.1, create=True)
+        config.set("tpu.sparse_updates", sparse)
+        config.set("tpu.sparse_table_chunks", str(chunks))
+        dataset = Dataset.create(config)
+        job = TrainingJob.create(config, dataset)
+        job.run()
+        return job
+
+    for optimizer in ("Adagrad", "SGD"):
+        dense = run("never", optimizer=optimizer)
+        mono = run("always", optimizer=optimizer)
+        chunked = run("always", chunks=3, optimizer=optimizer,
+                      valid_every=1)
+        assert chunked._table_chunks == {
+            "entity_embedder.weights": 3, "relation_embedder.weights": 3
+        }
+        assert isinstance(chunked.params["entity_embedder"]["weights"],
+                          tuple)
+        assert len(chunked.params["entity_embedder"]["weights"]) == 3
+        if optimizer == "Adagrad":
+            s = chunked.opt_state["sparse"]["entity_embedder.weights"]["sum"]
+            assert isinstance(s, tuple) and len(s) == 3
+        for d, c in zip(_tables(dense), _tables(chunked)):
+            np.testing.assert_allclose(d, c, atol=5e-6)
+        for m, c in zip(_tables(mono), _tables(chunked)):
+            np.testing.assert_allclose(m, c, atol=5e-6)
+        # in-loop validation saw the dechunked view (ran without error)
+        assert chunked.valid_trace
+
+
+def test_chunked_tables_checkpoint_resume(tmp_path):
+    """Checkpoints of chunked jobs store whole tables (format identical
+    to un-chunked runs) and resume re-chunks: a kill/resume at epoch 2
+    must land exactly where the uninterrupted run lands."""
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+    from kge_tpu.utils.io import load_checkpoint
+    from kge_tpu.train.job import Job
+
+    def make_config(folder, epochs):
+        config = create_config("toy", model="complex")
+        config.set("console.quiet", True)
+        config.set("lookup_embedder.dim", 16)
+        config.set("train.type", "negative_sampling")
+        config.set("negative_sampling.num_samples.s", 5)
+        config.set("negative_sampling.num_samples.o", 7)
+        config.set("negative_sampling.shared", True)
+        config.set("negative_sampling.implementation", "batch")
+        config.set("train.batch_size", 32)
+        config.set("train.max_epochs", epochs)
+        config.set("valid.every", 0)
+        config.set("random_seed.default", 11)
+        config.set("train.optimizer.default.args.lr", 0.1, create=True)
+        config.set("tpu.sparse_updates", "always")
+        config.set("tpu.sparse_table_chunks", "3")
+        config.folder = str(folder)
+        import os
+        os.makedirs(str(folder), exist_ok=True)
+        return config
+
+    config = make_config(tmp_path / "full", 4)
+    dataset = Dataset.create(config)
+    full = TrainingJob.create(config, dataset)
+    full.run()
+
+    config2 = make_config(tmp_path / "part", 2)
+    dataset2 = Dataset.create(config2)
+    part = TrainingJob.create(config2, dataset2)
+    part.run()
+    # the on-disk table is whole (not chunked)
+    ckpt = load_checkpoint(config2.checkpoint_file(2))
+    w = ckpt["model"]["params"]["entity_embedder"]["weights"]
+    assert not isinstance(w, (tuple, list))
+    assert w.ndim == 2
+
+    config3 = make_config(tmp_path / "part", 4)
+    resumed = Job.create_from(ckpt, new_config=config3)
+    resumed.run()
+    assert resumed._table_chunks["entity_embedder.weights"] == 3
+    for f, r in zip(_tables(full), _tables(resumed)):
+        np.testing.assert_allclose(f, r, atol=5e-6)
