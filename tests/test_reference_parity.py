@@ -847,9 +847,32 @@ def test_drilldown_metric_parity(ref, dataset_folder, tmp_path):
         )
 
 
+# per-strategy training config (the 4th case element); the common
+# pinning (one batch per epoch, Adagrad, kl loss) lives in the test body
+_NEGSAMP_EXTRA = (
+    ("train.type", "negative_sampling"),
+    ("negative_sampling.num_samples.s", 4),
+    ("negative_sampling.num_samples.o", 6),
+)
+_KVSALL_EXTRA = (
+    # label smoothing IN THE LOOP (reference train_KvsAll.py:260-266).
+    # sp_ only: the reference shuffles query types into MIXED batches
+    # while we build homogeneous-type batches — with a single type both
+    # sides see identical one-batch epochs (multi-type per-batch loss
+    # equality is covered by test_training_loss_parity)
+    ("train.type", "KvsAll"),
+    ("KvsAll.label_smoothing", 0.3),
+    ("KvsAll.query_types.sp_", True),
+    ("KvsAll.query_types._po", False),
+    ("KvsAll.query_types.s_o", False),
+)
+_1VSALL_EXTRA = (("train.type", "1vsAll"),)
+
 TRAJECTORY_CASES = [
-    # (model, overrides, strict_eval)
-    ("complex", {}, True),
+    # (model, overrides, strict_eval, train_extra)
+    ("complex", {}, True, _NEGSAMP_EXTRA),
+    ("complex", {}, True, _KVSALL_EXTRA),
+    ("complex", {}, True, _1VSALL_EXTRA),
     (
         # GNN preset with NO batch norm (TorchRgcnLayer,
         # rgnn_encoder.py:600): every parameter has a real gradient, so
@@ -866,6 +889,38 @@ TRAJECTORY_CASES = [
             "rgcn.encoder.self_edge_dropout": 0.0,
         },
         True,
+        _NEGSAMP_EXTRA,
+    ),
+    (
+        # CompGCN MessagePassingLayer with per_relation(basis)
+        # propagation — the one propagation family the reference runs
+        # WITHOUT BatchNorm (rgnn_encoder.py:370-371 skips bn for
+        # per_relation_basis/block), so the flagship GNN layer gets
+        # FULL end-state eval parity under training (the direction-mode
+        # case below stays loss-only because of its unconditional BN).
+        "compgcn",
+        {
+            "compgcn.encoder.use_stale_embeddings": False,
+            "compgcn.encoder.emb_entity_dropout": 0.0,
+            "compgcn.encoder.message_passing_args.propagation":
+                "per_relation",
+            "compgcn.encoder.weight_decomposition": "basis",
+            "compgcn.encoder.num_blocks_or_bases": 4,
+            "compgcn.decoder.model": "distmult",
+            "compgcn.decoder.type": "distmult",
+            "compgcn.decoder.scorer": "DistMultScorer",
+            "compgcn.decoder.base_model.entity_embedder.dim": DIM,
+            "compgcn.decoder.base_model.relation_embedder.dim": DIM,
+        },
+        True,
+        # lr 0.02 (not the pinning default 0.1): with Adagrad's
+        # first-step updates ~ lr*sign(g), a 20-epoch GNN trajectory at
+        # lr 0.1 chaotically amplifies the ~1e-7 summation-order
+        # differences between the frameworks' per-relation basis
+        # matmuls; at 0.02 the trajectories stay within tolerance over
+        # all 20 epochs, which is the honest statement of equality
+        # (both sides run the SAME lr)
+        _NEGSAMP_EXTRA + (("train.optimizer.default.args.lr", 0.02),),
     ),
     (
         # CompGCN: loss-trajectory-only case. Its MessagePassingLayer
@@ -903,16 +958,18 @@ TRAJECTORY_CASES = [
             "train.optimizer.loop_rel.args.lr": 0.0,
         },
         False,
+        _NEGSAMP_EXTRA,
     ),
 ]
 
 
 @pytest.mark.parametrize(
-    "model_name,overrides,strict_eval", TRAJECTORY_CASES,
-    ids=["complex", "rgcn", "compgcn"])
+    "model_name,overrides,strict_eval,train_extra", TRAJECTORY_CASES,
+    ids=["complex-negsamp", "complex-kvsall", "complex-1vsall", "rgcn",
+         "compgcn-bnfree", "compgcn"])
 def test_training_trajectory_parity(ref, dataset_folder, tmp_path,
                                     model_name, overrides, strict_eval,
-                                    monkeypatch):
+                                    train_extra, monkeypatch):
     """N epochs of OUR Adagrad and the REFERENCE's Adagrad land on the
     same loss trajectory and the same valid filtered MRR from the same
     init and pinned batches — the in-environment stand-in for published
@@ -936,17 +993,14 @@ def test_training_trajectory_parity(ref, dataset_folder, tmp_path,
     torch = ref.torch
     epochs = 20
     extra = [
-        ("train.type", "negative_sampling"),
-        ("train.batch_size", 240),  # == len(train): one batch per epoch
+        ("train.batch_size", 240),  # >= examples: one batch per epoch
         ("train.max_epochs", epochs),
         ("train.loss", "kl"),
-        ("negative_sampling.num_samples.s", 4),
-        ("negative_sampling.num_samples.o", 6),
         ("train.optimizer.default.type", "Adagrad"),
         ("train.optimizer.default.args.lr", 0.1),
         ("valid.every", 0),
         ("eval.split", "valid"),
-    ]
+    ] + list(train_extra)
 
     def ref_fake_sample(self, positive_triples, slot, num_samples):
         neg = _deterministic_negatives_np(
