@@ -60,6 +60,10 @@ def measure(group=4):
         "unit": "triples/s/chip (end-to-end epoch)",
         "ms_per_batch": round(best / n * 1e3, 2),
         "steps_per_dispatch": group,
+        # VERDICT r4 item 4: record whether the host ships positive
+        # indices only (tpu.on_device_sampling auto-engages on TPU for
+        # this shape; the field proves it in the driver artifact)
+        "on_device_sampling": bool(job._on_device_sampling),
     }
 
 

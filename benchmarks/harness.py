@@ -32,51 +32,35 @@ def measure_steps(job, steps: int = 32, distinct_batches: int = 8,
         return _measure_pipelined_steps(job, steps, distinct_batches,
                                         repeats)
 
-    step_fn = job._make_step_fn()
     gen = job._generate_batches(1)
     batch_list = [next(gen) for _ in range(distinct_batches)]
-    stacked = {
-        k: jnp.asarray(np.stack([np.asarray(b[k]) for b in batch_list]))
-        for k in batch_list[0]
-    }
+    # the job's OWN grouped-dispatch program (the structure run_epoch
+    # dispatches, incl. strategy group-level payloads like the sparse
+    # row working set), cycling the distinct batches to fill `steps`
+    stacked_np = job._stack_group_batches(
+        [batch_list[i % distinct_batches] for i in range(steps)]
+    )
+    stacked = {k: jnp.asarray(v) for k, v in stacked_np.items()}
     lrs = {g: jnp.asarray(b, dtype=jnp.float32)
            for g, b in job.optimizer.base_lrs.items()}
-
-    def many(params, opt_state, state, stacked, lrs, rng):
-        def body(carry, i):
-            params, opt_state, state = carry
-            batch = jax.tree_util.tree_map(
-                lambda v: jax.lax.dynamic_index_in_dim(
-                    v, i % distinct_batches, keepdims=False
-                ),
-                stacked,
-            )
-            params, opt_state, state, metrics = step_fn(
-                params, opt_state, state, batch, lrs,
-                jax.random.fold_in(rng, i),
-            )
-            return (params, opt_state, state), metrics["avg_loss"]
-
-        (params, opt_state, state), losses = jax.lax.scan(
-            body, (params, opt_state, state), jnp.arange(steps)
-        )
-        return params, opt_state, state, losses[-1]
-
-    fn = jax.jit(many, donate_argnums=(0, 1, 2))
+    fn = job._build_group_step(steps)
     rng = jax.random.PRNGKey(7)
     # warmup: compile + one full execution, forced by the scalar fetch
-    params, opt_state, state, loss = fn(
-        job.params, job.opt_state, job.model_state, stacked, lrs, rng
+    params, opt_state, state, metrics = fn(
+        job.params, job.opt_state, job.model_state, stacked, lrs, rng,
+        jnp.int32(0),
     )
-    float(loss)
+    float(metrics["avg_loss"][-1])
     # timed runs
     secs = []
-    for _ in range(max(1, repeats)):
+    for r in range(max(1, repeats)):
         t0 = time.perf_counter()
-        params, opt_state, state, loss = fn(
-            params, opt_state, state, stacked, lrs, rng
+        params, opt_state, state, metrics = fn(
+            params, opt_state, state, stacked, lrs, rng,
+            jnp.int32((1 + r) * steps),
         )
-        final_loss = float(loss)  # forces execution + scalar transfer
+        # forces execution + scalar transfer
+        final_loss = float(metrics["avg_loss"][-1])
         secs.append((time.perf_counter() - t0) / steps)
     job.params, job.opt_state, job.model_state = params, opt_state, state
     return sorted(secs)[len(secs) // 2], final_loss, secs

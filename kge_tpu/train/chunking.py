@@ -92,6 +92,27 @@ def gather_rows(table, ids):
     return out
 
 
+def scatter_rows_add(table, ids, delta):
+    """table[ids] += delta for a plain array OR a chunk tuple. ``ids``
+    must be sorted and distinct. Chunk handling mirrors
+    KgeOptimizer.sparse_row_update: past-the-end locals are DROPPED by
+    mode="drop"; negative locals clamp to 0 with masked (zeroed) values
+    because drop mode only drops >= size (negatives would wrap), and
+    the clamped prefix keeps the index vector sorted."""
+    if not isinstance(table, tuple):
+        return table.at[ids].add(delta, indices_are_sorted=True,
+                                 unique_indices=True)
+    rows_c = table[0].shape[0]
+    out = []
+    for k, chunk in enumerate(table):
+        local = ids - k * rows_c
+        idx = jnp.maximum(local, 0)
+        mask = (local >= 0).astype(delta.dtype)[:, None]
+        out.append(chunk.at[idx].add(delta * mask,
+                                     indices_are_sorted=True, mode="drop"))
+    return tuple(out)
+
+
 def chunk_tree(params, chunk_spec: Dict[str, int]):
     """Convert the table leaves named in ``chunk_spec`` (dotted path ->
     K) from arrays to chunk tuples, in place on a nested-dict copy."""

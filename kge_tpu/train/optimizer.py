@@ -380,6 +380,34 @@ class KgeOptimizer:
             sparse_state,
         )
 
+    def sparse_rowset_update(self, path: str, W, A, pos, row_grads,
+                             lrs: Dict[str, jnp.ndarray]):
+        """Row-wise optimizer step INSIDE a dispatch-level working set:
+        ``W``/``A`` hold the parameter and Adagrad-accumulator rows of
+        the dispatch's touched-row union; ``pos`` are this batch's
+        (distinct, sorted) positions into them. Same math as
+        sparse_row_update, but the scatters touch only the small
+        [|union|, D] buffers — the whole-table scatter happens once per
+        dispatch, not once per step (train_negative_sampling.py
+        _build_group_step). Returns (new_W, new_A); A is None for
+        stateless SGD."""
+        group = self._lr_label_by_path[path]
+        lr = lrs[group]
+        args = self._group_args[group]
+        if self._opt_type == "adagrad":
+            eps = float(args.get("eps", 1e-10))
+            a_rows = jnp.take(A, pos, axis=0)
+            new_a_rows = a_rows + row_grads * row_grads
+            update = row_grads / (jnp.sqrt(new_a_rows) + eps)
+            A = A.at[pos].add(row_grads * row_grads,
+                              indices_are_sorted=True, unique_indices=True)
+            W = W.at[pos].add(-lr * update, indices_are_sorted=True,
+                              unique_indices=True)
+            return W, A
+        W = W.at[pos].add(-lr * row_grads, indices_are_sorted=True,
+                          unique_indices=True)
+        return W, A
+
 
 class KgeLRScheduler:
     """Host-side LR control: warmup + torch-style schedulers by name

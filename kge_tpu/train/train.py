@@ -396,6 +396,16 @@ class TrainingJob(TrainingOrEvaluationJob):
         donate = (0, 1, 2) if self.config.get("tpu.donate_buffers") else ()
         return jax.jit(self._make_step_fn(), donate_argnums=donate)
 
+    def _stack_group_batches(self, buffered: List[Dict[str, np.ndarray]]
+                             ) -> Dict[str, np.ndarray]:
+        """Stack k host batches into one grouped-dispatch payload
+        (leading axis k). Strategies may add GROUP-LEVEL keys (no k
+        axis) consumed by their _build_group_step."""
+        return {
+            key: np.stack([b[key] for b in buffered])
+            for key in buffered[0]
+        }
+
     def _build_group_step(self, k: int) -> Callable:
         """K train steps scanned inside ONE compiled dispatch. Dispatch
         and host->device marshaling cost a few ms per call (much more
@@ -662,10 +672,7 @@ class TrainingJob(TrainingOrEvaluationJob):
                 self._train_step = self._build_train_step()
             if k == group_size and group_size > 1:
                 t0 = time.time()
-                stacked = {
-                    key: np.stack([b[key] for b in buffered])
-                    for key in buffered[0]
-                }
+                stacked = self._stack_group_batches(buffered)
                 # under a mesh, the batch axis (position 1 behind the
                 # k-stack axis) shards over "data"
                 batch = self._put_batch(stacked, stacked=True)

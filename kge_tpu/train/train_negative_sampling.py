@@ -345,6 +345,40 @@ class TrainingJobNegativeSampling(TrainingJob):
         }
         return grads, new_model_state, metrics
 
+    def _dense_leaf_update(self):
+        """Dense optimizer update for the NON-table leaves of a sparse
+        step; the table leaves (and their per-row optimizer state) pass
+        through untouched. The table leaves are "__sparse__"-labeled
+        (optax set_to_zero ignores their gradient VALUES entirely), so
+        scalar placeholders stand in for [V, D] zeros — a zeros_like of
+        a 2.3 GiB table inside the step program is exactly the kind of
+        whole-table buffer the v5e backend fault is triggered by."""
+        import jax
+
+        optimizer = self.optimizer
+
+        def placeholder(subtree):
+            return {
+                # chunked tables are tuples: one scalar per chunk
+                k: (jax.tree_util.tree_map(lambda _: jnp.zeros(()), v)
+                    if k == "weights" else jnp.zeros_like(v))
+                for k, v in subtree.items()
+            }
+
+        def apply_dense(params, opt_state, grads, lrs):
+            dense_grads = {
+                **grads["rest"],
+                "entity_embedder": placeholder(params["entity_embedder"]),
+                "relation_embedder": placeholder(
+                    params["relation_embedder"]
+                ),
+            }
+            return optimizer.apply_updates(
+                params, dense_grads, opt_state, lrs
+            )
+
+        return apply_dense
+
     def _sparse_update_fn(self, gather_next: bool):
         """Update phase of the row-sparse step: dense optimizer update
         for non-table leaves, row-wise Adagrad/SGD scatter for the
@@ -357,8 +391,6 @@ class TrainingJobNegativeSampling(TrainingJob):
         on a buffer at donation time forces the runtime to copy the
         whole table (measured ~10 ms per 2.3 GiB table per step on v5e,
         vs 0.07 ms for the fused update+gather program)."""
-        import jax
-
         optimizer = self.optimizer
         dim = self.model.get_s_embedder().dim
         in_place_e = self._use_row_kernel(
@@ -368,34 +400,11 @@ class TrainingJobNegativeSampling(TrainingJob):
             self.model.get_p_embedder().padded_vocab_size
             * self.model.get_p_embedder().dim * 4
         )
+        apply_dense = self._dense_leaf_update()
 
         def apply_phase(params, opt_state, uniq_e, uniq_r, grads, lrs):
-            # dense update for non-table leaves; tables pass through.
-            # The table leaves are "__sparse__"-labeled (optax
-            # set_to_zero ignores their gradient VALUES entirely), so
-            # scalar placeholders stand in for [V, D] zeros — a
-            # zeros_like of a 2.3 GiB table inside the scatter program
-            # is exactly the kind of whole-table buffer the v5e backend
-            # fault is triggered by (tpu.sparse_scatter_limit_bytes)
-            def placeholder(subtree):
-                import jax
-
-                return {
-                    # chunked tables are tuples: one scalar per chunk
-                    k: (jax.tree_util.tree_map(lambda _: jnp.zeros(()), v)
-                        if k == "weights" else jnp.zeros_like(v))
-                    for k, v in subtree.items()
-                }
-
-            dense_grads = {
-                **grads["rest"],
-                "entity_embedder": placeholder(params["entity_embedder"]),
-                "relation_embedder": placeholder(
-                    params["relation_embedder"]
-                ),
-            }
-            new_params, new_opt_state = optimizer.apply_updates(
-                params, dense_grads, opt_state, lrs
+            new_params, new_opt_state = apply_dense(
+                params, opt_state, grads, lrs
             )
             sparse_state = dict(new_opt_state["sparse"])
             new_table_e, state_e = optimizer.sparse_row_update(
@@ -559,6 +568,196 @@ class TrainingJobNegativeSampling(TrainingJob):
                              "update": update_j, "flush": flush_j}
         return step
 
+    def _stack_group_batches(self, buffered):
+        """Grouped sparse dispatches add the DISPATCH-LEVEL row working
+        set: ``guniq_e``/``guniq_r`` hold the sorted union of the k
+        batches' touched rows (padded to a static size with distinct
+        unreferenced fill ids, same contract as _add_row_index_payload's
+        uniquify), and ``pos_e``/``pos_r`` [k, u] map each batch's uniq
+        vector to positions in the union. _build_group_step runs the k
+        steps entirely in this row space."""
+        stacked = super()._stack_group_batches(buffered)
+        if (not self._sparse_paths or self._sparse_split
+                or self._sparse_pipeline or "uniq_e" not in stacked):
+            return stacked
+        for key, emb in (
+            ("e", self.model.get_s_embedder()),
+            ("r", self.model.get_p_embedder()),
+        ):
+            uniq = stacked[f"uniq_{key}"]          # [k, u], sorted rows
+            k_steps, u = uniq.shape
+            vocab_pad = emb.padded_vocab_size
+            size = min(k_steps * u, vocab_pad)
+            union = np.unique(uniq.reshape(-1))
+            if len(union) < size:
+                n = size - len(union)
+                window = np.arange(
+                    max(vocab_pad - size - n, 0), vocab_pad,
+                    dtype=union.dtype,
+                )
+                fill = np.setdiff1d(window, union)[-n:]
+                union = np.sort(np.concatenate([union, fill]))
+            stacked[f"guniq_{key}"] = union.astype(np.int32)
+            stacked[f"pos_{key}"] = np.searchsorted(
+                union, uniq
+            ).astype(np.int32)
+        return stacked
+
+    def _build_group_step(self, k: int):
+        """Grouped dispatch for the fused row-sparse step runs the k
+        steps in a DISPATCH-LEVEL ROW WORKING SET: gather the union of
+        the group's touched rows (and their Adagrad accumulator rows)
+        from the tables ONCE, scan the k loss/update steps entirely in
+        row space (scatters touch only the small [|union|, D] buffers),
+        and scatter the net deltas back into the tables ONCE at the end
+        of the program.
+
+        Why: on the current v5e runtime every IN-PLACE big-table form
+        crashes the worker (docs/STATUS.md; re-confirmed in round 5 for
+        sub-limit chunked buffers inside the real program), so table
+        scatters must stay in XLA's reliable COPYING regime — which
+        costs ~17 ms of whole-table operand copies at Wikidata5M scale
+        regardless of batch size. This step pays that tax once per
+        DISPATCH instead of once per step: k=16 turns 17 ms/step into
+        ~17/16 ms/step plus microseconds of row work.
+
+        Semantics are exactly those of k per-batch fused dispatches:
+        batch i's rows come from the working set that already carries
+        all updates < i (the same values a table round-trip would
+        yield), and fill rows receive zero gradient. The scan carries
+        the tables untouched; only the final delta scatter consumes
+        them."""
+        if (not self._sparse_paths or self._sparse_split
+                or self._sparse_pipeline):
+            return super()._build_group_step(k)
+        import jax
+        from kge_tpu.train.chunking import gather_rows, scatter_rows_add
+
+        apply_dense = self._dense_leaf_update()
+        optimizer = self.optimizer
+        adagrad = optimizer._opt_type == "adagrad"
+        e_path = "entity_embedder.weights"
+        r_path = "relation_embedder.weights"
+
+        def many(params, opt_state, model_state, stacked, lrs, rng,
+                 start_index):
+            u_e, u_r = stacked["guniq_e"], stacked["guniq_r"]
+            per_batch = {
+                kk: v for kk, v in stacked.items()
+                if not kk.startswith("guniq_")
+            }
+            w_e0 = gather_rows(params["entity_embedder"]["weights"], u_e)
+            w_r0 = gather_rows(params["relation_embedder"]["weights"], u_r)
+            if adagrad:
+                acc = opt_state["sparse"]
+                a_e0 = gather_rows(acc[e_path]["sum"], u_e)
+                a_r0 = gather_rows(acc[r_path]["sum"], u_r)
+            else:  # stateless SGD: zero-size placeholder carries
+                a_e0 = jnp.zeros((0,), jnp.float32)
+                a_r0 = jnp.zeros((0,), jnp.float32)
+
+            def body(carry, i):
+                (params, opt_state, model_state,
+                 w_e, a_e, w_r, a_r) = carry
+                batch = jax.tree_util.tree_map(
+                    lambda v: jax.lax.dynamic_index_in_dim(
+                        v, i, keepdims=False
+                    ),
+                    per_batch,
+                )
+                rows_e = jnp.take(w_e, batch["pos_e"], axis=0)
+                rows_r = jnp.take(w_r, batch["pos_r"], axis=0)
+                grads, model_state, metrics = self._sparse_loss_grads(
+                    rows_e, rows_r, params, model_state, batch,
+                    jax.random.fold_in(rng, start_index + i),
+                )
+                params, opt_state = apply_dense(
+                    params, opt_state, grads, lrs
+                )
+                w_e, a_e = optimizer.sparse_rowset_update(
+                    e_path, w_e, a_e if adagrad else None,
+                    batch["pos_e"], grads["rows_e"], lrs,
+                )
+                w_r, a_r = optimizer.sparse_rowset_update(
+                    r_path, w_r, a_r if adagrad else None,
+                    batch["pos_r"], grads["rows_r"], lrs,
+                )
+                if not adagrad:
+                    a_e, a_r = a_e0, a_r0
+                return (params, opt_state, model_state,
+                        w_e, a_e, w_r, a_r), metrics
+
+            carry0 = (params, opt_state, model_state,
+                      w_e0, a_e0, w_r0, a_r0)
+            (params, opt_state, model_state, w_e, a_e, w_r, a_r), \
+                metrics = jax.lax.scan(
+                    body, carry0, jnp.arange(k, dtype=jnp.int32)
+                )
+
+            # The net-delta table scatter runs inside a ONE-iteration
+            # scan: on the current v5e runtime, big-table scatters in
+            # straight-line program tails take an in-place lowering
+            # that crashes the worker (round-5 probes: donated AND
+            # undonated), while scatters in loop bodies lower to the
+            # reliable copying form (the fused chunked scan survives
+            # repeatedly). Same math; one table copy per DISPATCH —
+            # the cost the working set exists to amortize.
+            def store(carry, _):
+                tab_e, tab_r, acc = carry
+                tab_e = scatter_rows_add(tab_e, u_e, w_e - w_e0)
+                tab_r = scatter_rows_add(tab_r, u_r, w_r - w_r0)
+                if adagrad:
+                    acc = {
+                        e_path: {"sum": scatter_rows_add(
+                            acc[e_path]["sum"], u_e, a_e - a_e0
+                        )},
+                        r_path: {"sum": scatter_rows_add(
+                            acc[r_path]["sum"], u_r, a_r - a_r0
+                        )},
+                    }
+                return (tab_e, tab_r, acc), jnp.zeros(())
+
+            acc0 = opt_state["sparse"] if adagrad else {}
+            (new_tab_e, new_tab_r, new_acc), _ = jax.lax.scan(
+                store,
+                (params["entity_embedder"]["weights"],
+                 params["relation_embedder"]["weights"], acc0),
+                jnp.arange(1, dtype=jnp.int32),
+            )
+            params = {
+                **params,
+                "entity_embedder": {
+                    **params["entity_embedder"], "weights": new_tab_e
+                },
+                "relation_embedder": {
+                    **params["relation_embedder"], "weights": new_tab_r
+                },
+            }
+            if adagrad:
+                opt_state = {**opt_state, "sparse": dict(new_acc)}
+            return params, opt_state, model_state, metrics
+
+        # NOT donated: with donated tables XLA performs the final delta
+        # scatter IN PLACE (the gather at program start is the only
+        # other consumer), which is the exact write pattern that crashes
+        # the current v5e worker (re-confirmed in round 5 — even for
+        # sub-limit chunk buffers inside the real program). Undonated
+        # inputs force the reliable copying scatter; the copy runs once
+        # per DISPATCH and is the cost the working set amortizes.
+        return jax.jit(many)
+
+    def _steps_per_dispatch(self) -> int:
+        if self._sparse_host_loop_only():
+            return 1
+        group = super()._steps_per_dispatch()
+        if group > 1 and self._table_chunks:
+            # chunked tables pay one whole-table delta scatter per
+            # dispatch (copying regime, ~17 ms at w5m scale); a deeper
+            # group amortizes it — the row working set makes the scanned
+            # steps themselves O(touched rows)
+            group = max(group, 16)
+        return group
+
     def _build_pipelined_gather_step(self):
         """ONE compiled program per step, ordered so the big tables are
         updated IN PLACE: scatter batch i-1's pending row updates first
@@ -694,11 +893,6 @@ class TrainingJobNegativeSampling(TrainingJob):
                 rows = chunk_rows(rows, k)
             per_buffer.append(rows * emb.dim * 4 // shards)
         return max(per_buffer) > limit
-
-    def _steps_per_dispatch(self) -> int:
-        if self._sparse_host_loop_only():
-            return 1
-        return super()._steps_per_dispatch()
 
     def _prepare(self):
         self._implementation = self.config.check(
