@@ -103,7 +103,7 @@ def _negsamp_config(dim=128):
 
 
 def bench_negsamp(num_entities, num_relations, num_triples, steps,
-                  distinct_batches, dim=128, repeats=1):
+                  distinct_batches, dim=128, repeats=1, batch_size=None):
     """(triples/s, sec_per_step, roofline dict, all_secs) for one
     NegSamp training shape. With repeats > 1 the timed run repeats and
     sec_per_step is the MEDIAN, so the JSON carries its own noise bar
@@ -116,6 +116,8 @@ def bench_negsamp(num_entities, num_relations, num_triples, steps,
     )
 
     config = _negsamp_config(dim)
+    if batch_size:
+        config.set("train.batch_size", batch_size)
     dataset = build_synthetic_dataset(
         config, num_entities=num_entities, num_relations=num_relations,
         num_triples=num_triples,
@@ -212,7 +214,7 @@ def section_w5m():
         steps=16, distinct_batches=4, repeats=3,
     )
     ms = sorted(s * 1e3 for s in secs)
-    return {
+    fields = {
         "w5m_train_triples_per_s": round(tps, 1),
         "w5m_step_ms": round(sec * 1e3, 2),
         "w5m_step_ms_min": round(ms[0], 2),
@@ -221,7 +223,30 @@ def section_w5m():
         "w5m_pct_hbm_roofline": rl["pct_hbm_roofline"],
         "w5m_sparse_updates": rl["sparse_updates"],
         "w5m_entity_table_GiB": round(4_818_679 * 128 * 4 / 2 ** 30, 2),
+        # the roofline above counts USEFUL (touched-row) traffic, so a
+        # low number means waste, not slowness: the reliable sparse
+        # step's scatters lower to whole-table operand copies on the
+        # current runtime (in-place forms fault — docs/STATUS.md), and
+        # those copies themselves run near HBM speed:
+        # (entity table + Adagrad accumulator) x (read + write):
+        "w5m_copy_traffic_GBps": round(
+            2 * 2 * (4_818_688 * 128 * 4) / sec / 1e9, 1
+        ),
     }
+    # second operating point, batch 8192: the reliable sparse step is
+    # table-pass-bound (~17 ms flat — XLA's copying scatters; every
+    # in-place form faults the current runtime, docs/STATUS.md), so
+    # throughput scales with triples per step. Same V/dim/negatives as
+    # the recipe; only the batch axis differs.
+    tps8, sec8, rl8, _ = bench_negsamp(
+        num_entities=4_818_679, num_relations=828, num_triples=500_000,
+        steps=8, distinct_batches=2, repeats=2, batch_size=8192,
+    )
+    fields.update({
+        "w5m_batch8192_triples_per_s": round(tps8, 1),
+        "w5m_batch8192_step_ms": round(sec8 * 1e3, 2),
+    })
+    return fields
 
 
 def section_epoch():

@@ -577,8 +577,7 @@ class TrainingJobNegativeSampling(TrainingJob):
         vector to positions in the union. _build_group_step runs the k
         steps entirely in this row space."""
         stacked = super()._stack_group_batches(buffered)
-        if (not self._sparse_paths or self._sparse_split
-                or self._sparse_pipeline or "uniq_e" not in stacked):
+        if (not self._use_group_rowset() or "uniq_e" not in stacked):
             return stacked
         for key, emb in (
             ("e", self.model.get_s_embedder()),
@@ -626,9 +625,20 @@ class TrainingJobNegativeSampling(TrainingJob):
         all updates < i (the same values a table round-trip would
         yield), and fill rows receive zero gradient. The scan carries
         the tables untouched; only the final delta scatter consumes
-        them."""
-        if (not self._sparse_paths or self._sparse_split
-                or self._sparse_pipeline):
+        them.
+
+        GATED OFF (``tpu.sparse_group_rowset`` auto == never): on the
+        current v5e runtime this program crashes the worker at w5m
+        scale on a verified-healthy backend — donated, undonated, and
+        with the final scatter wrapped in a one-iteration scan (round-5
+        probes; the fused-scan form run immediately before/after is
+        fine, so it is this program's structure, not backend state).
+        The reliable default is the base fused-scan group step (tables
+        gathered+scattered inside each iteration; XLA lowers those
+        scatters to whole-table copies — ~17 ms/step flat at w5m scale
+        — which is slow but never faults). Flip ``auto`` when
+        tests/test_tpu_canary.py reports the form surviving."""
+        if not self._use_group_rowset():
             return super()._build_group_step(k)
         import jax
         from kge_tpu.train.chunking import gather_rows, scatter_rows_add
@@ -746,15 +756,28 @@ class TrainingJobNegativeSampling(TrainingJob):
         # per DISPATCH and is the cost the working set amortizes.
         return jax.jit(many)
 
+    def _use_group_rowset(self) -> bool:
+        """Whether grouped sparse dispatches run the row-working-set
+        program (see _build_group_step). auto == never on the current
+        runtime (the program crashes the v5e worker at scale); always
+        forces it (CPU trajectory tests; future runtimes)."""
+        if (not self._sparse_paths or self._sparse_split
+                or self._sparse_pipeline):
+            return False
+        mode = self.config.check(
+            "tpu.sparse_group_rowset", ["auto", "always", "never"]
+        )
+        return mode == "always"
+
     def _steps_per_dispatch(self) -> int:
         if self._sparse_host_loop_only():
             return 1
         group = super()._steps_per_dispatch()
-        if group > 1 and self._table_chunks:
-            # chunked tables pay one whole-table delta scatter per
-            # dispatch (copying regime, ~17 ms at w5m scale); a deeper
-            # group amortizes it — the row working set makes the scanned
-            # steps themselves O(touched rows)
+        if group > 1 and self._table_chunks and self._use_group_rowset():
+            # the row working set pays one whole-table delta scatter
+            # per dispatch (copying regime, ~17 ms at w5m scale); a
+            # deeper group amortizes it — the scanned steps themselves
+            # are O(touched rows)
             group = max(group, 16)
         return group
 

@@ -294,7 +294,8 @@ def test_chunked_tables_match_dense():
     from kge_tpu import Dataset
     from kge_tpu.train.train import TrainingJob
 
-    def run(sparse, chunks="never", optimizer="Adagrad", valid_every=0):
+    def run(sparse, chunks="never", optimizer="Adagrad", valid_every=0,
+            rowset="auto"):
         config = create_config("toy", model="complex")
         config.set("console.quiet", True)
         config.set("lookup_embedder.dim", 16)
@@ -311,6 +312,7 @@ def test_chunked_tables_match_dense():
         config.set("train.optimizer.default.args.lr", 0.1, create=True)
         config.set("tpu.sparse_updates", sparse)
         config.set("tpu.sparse_table_chunks", str(chunks))
+        config.set("tpu.sparse_group_rowset", rowset)
         dataset = Dataset.create(config)
         job = TrainingJob.create(config, dataset)
         job.run()
@@ -321,6 +323,14 @@ def test_chunked_tables_match_dense():
         mono = run("always", optimizer=optimizer)
         chunked = run("always", chunks=3, optimizer=optimizer,
                       valid_every=1)
+        # the gated row-working-set group step (tpu.sparse_group_rowset
+        # always; auto == never on the current TPU runtime) must land on
+        # the same trajectory
+        rowset = run("always", chunks=3, optimizer=optimizer,
+                     rowset="always")
+        assert rowset._use_group_rowset()
+        for d, c in zip(_tables(dense), _tables(rowset)):
+            np.testing.assert_allclose(d, c, atol=5e-6)
         assert chunked._table_chunks == {
             "entity_embedder.weights": 3, "relation_embedder.weights": 3
         }

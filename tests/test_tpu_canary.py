@@ -1,9 +1,10 @@
 """Re-probe canaries for the platform-gated in-place sparse forms.
 
-Three config knobs ship with ``auto == never`` because their in-place
-big-table programs crash the current remote-attached v5e worker
+Four config knobs ship with ``auto == never`` because their big-table
+programs crash the current remote-attached v5e worker
 (docs/STATUS.md rounds 4-5): ``tpu.sparse_row_kernel``,
-``tpu.sparse_pipelined_gather``, ``tpu.sparse_split_phases``. Each
+``tpu.sparse_pipelined_gather``, ``tpu.sparse_split_phases``,
+``tpu.sparse_group_rowset``. Each
 canary here forces one knob ``always`` in the REAL training job at an
 over-limit table scale (1.2 GiB) in a SUBPROCESS (a worker crash kills
 the process, not the suite) and REPORTS the outcome — it does not fail
@@ -49,23 +50,37 @@ job = TrainingJob.create(config, dataset)
 job._prepare()
 job._is_prepared = True
 assert job._sparse_paths, "sparse updates did not engage"
-step = job._build_train_step()
-gen = job._generate_batches(1)
-batches = [{{k: jnp.asarray(v) for k, v in next(gen).items()}}
-           for _ in range(2)]
 lrs = {{g: jnp.asarray(b, dtype=jnp.float32)
        for g, b in job.optimizer.base_lrs.items()}}
 rng = jax.random.PRNGKey(7)
 params, opt_state, state = job.params, job.opt_state, job.model_state
-for i in range(4):
-    params, opt_state, state, metrics = step(
-        params, opt_state, state, batches[i % 2], lrs,
-        jax.random.fold_in(rng, i),
-    )
-    loss = float(metrics["avg_loss"])  # force every step
-if hasattr(step, "flush_pipeline"):
-    params, opt_state = step.flush_pipeline(params, opt_state, lrs)
-    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+gen = job._generate_batches(1)
+if "{knob}" == "sparse_group_rowset":
+    # the rowset form lives in the GROUP step
+    assert job._use_group_rowset()
+    k = 4
+    stacked_np = job._stack_group_batches([next(gen) for _ in range(k)])
+    stacked = {{kk: jnp.asarray(v) for kk, v in stacked_np.items()}}
+    group = job._build_group_step(k)
+    for r in range(2):
+        params, opt_state, state, metrics = group(
+            params, opt_state, state, stacked, lrs, rng,
+            jnp.int32(r * k),
+        )
+        loss = float(metrics["avg_loss"][-1])
+else:
+    step = job._build_train_step()
+    batches = [{{k: jnp.asarray(v) for k, v in next(gen).items()}}
+               for _ in range(2)]
+    for i in range(4):
+        params, opt_state, state, metrics = step(
+            params, opt_state, state, batches[i % 2], lrs,
+            jax.random.fold_in(rng, i),
+        )
+        loss = float(metrics["avg_loss"])  # force every step
+    if hasattr(step, "flush_pipeline"):
+        params, opt_state = step.flush_pipeline(params, opt_state, lrs)
+        jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
 print("CANARY-SURVIVED loss=%.4f" % loss)
 """
 
@@ -73,6 +88,7 @@ print("CANARY-SURVIVED loss=%.4f" % loss)
 @pytest.mark.tpu
 @pytest.mark.parametrize("knob", [
     "sparse_row_kernel", "sparse_pipelined_gather", "sparse_split_phases",
+    "sparse_group_rowset",
 ])
 def test_inplace_form_canary(knob):
     """Forces one gated in-place form on the real chip at over-limit
