@@ -93,9 +93,11 @@ def profile(model="compgcn", dim=200, steps=16):
     params = job.params  # measure_steps trained/donated them
 
     rng = jax.random.PRNGKey(0)
+    model_state = job.model_state  # BN running stats etc.
 
     def enc_fwd(params, i):
-        ctx = Ctx(train=True, rng=jax.random.fold_in(rng, i), state={})
+        ctx = Ctx(train=True, rng=jax.random.fold_in(rng, i),
+                  state=model_state)
         x, r = encoder.encode(params, ctx)
         return jnp.sum(x) + jnp.sum(r)
 
@@ -116,7 +118,7 @@ def profile(model="compgcn", dim=200, steps=16):
     # passing) — approximates the step cost if message passing were free
     gen = job._generate_batches(1)
     batch = {k: jnp.asarray(v) for k, v in next(gen).items()}
-    ctx0 = Ctx(train=True, rng=rng, state={})
+    ctx0 = Ctx(train=True, rng=rng, state=model_state)
     x0, r0 = encoder.encode(params, ctx0)
     # seed the stale-embedding memo so the loss consumes FIXED encodings
     encoder.use_stale_embeddings = True
@@ -125,7 +127,7 @@ def profile(model="compgcn", dim=200, steps=16):
     def dec_only(params, x0, r0, i):
         def loss_fn(xr):
             ctx = Ctx(train=True, rng=jax.random.fold_in(rng, i),
-                      state={})
+                      state=model_state)
             ctx.cache[cache_key] = xr
             return job._subbatch_loss(
                 params, ctx, batch, slice(0, job.batch_size)

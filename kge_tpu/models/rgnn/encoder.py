@@ -447,6 +447,68 @@ class Rgnn(KgeBase):
                 modes.add("single")
         return tuple(sorted(modes))
 
+    def dense_adjacency_modes(self) -> Tuple[str, ...]:
+        """Edge-set names whose aggregation can run as ONE dense
+        [N, N] @ [N, d] matmul against a per-graph adjacency with the
+        degree norm baked in (tpu.gnn_dense_adjacency). Requires a
+        STATIC per-edge scale: hoistable composition (the mode weight
+        commutes out), no attention, no learned relation weight, no
+        edge/self-edge dropout; and for "sub" the node-level relation
+        term (C @ rw) must be materializable so no per-edge rw
+        subtraction remains. Empty tuple when ineligible or gated off."""
+        mode = self.config.check(
+            "tpu.gnn_dense_adjacency", ["auto", "always", "never"]
+        )
+        if mode == "never" or not self.layers:
+            return ()
+        reasons = []
+        for l in self.layers:
+            if not isinstance(l, MessagePassingLayer):
+                reasons.append(f"{l.name}: not a message-passing layer")
+                continue
+            if l.propagation.startswith("per_relation"):
+                reasons.append(f"{l.name}: per_relation propagation")
+            if not l.hoistable:
+                reasons.append(
+                    f"{l.name}: composition {l.composition_name!r} does "
+                    "not commute with the mode weight"
+                )
+            if l.attention:
+                reasons.append(f"{l.name}: attention softmax is per-edge")
+            if l.learned_relation_weight:
+                reasons.append(f"{l.name}: learned relation weight is a "
+                               "per-edge parameter")
+            if l.edge_dropout > 0 or l.self_edge_dropout > 0:
+                reasons.append(f"{l.name}: edge dropout makes the scale "
+                               "per-step")
+            if l.composition_name == "sub":
+                R1 = l.num_relations + 1  # + loop relation
+                if l.num_entities * R1 > l.C_MATRIX_MAX_ELEMENTS:
+                    reasons.append(
+                        f"{l.name}: 'sub' needs the C-matrix relation "
+                        f"term, too large at N*R = "
+                        f"{l.num_entities * R1}"
+                    )
+        if reasons:
+            if mode == "always":
+                raise ValueError(
+                    "tpu.gnn_dense_adjacency=always is not applicable "
+                    "here: " + "; ".join(reasons)
+                )
+            return ()
+        modes = self.row_block_modes
+        if mode == "auto":
+            if jax.default_backend() == "cpu":
+                return ()
+            N = self.layers[0].num_entities
+            dt = 4 if self.config.get(
+                "tpu.gnn_dense_adjacency_dtype") == "float32" else 2
+            limit = int(self.config.get(
+                "tpu.gnn_dense_adjacency_limit_bytes"))
+            if N * N * dt > limit:
+                return ()
+        return modes
+
     def init_params(self, rng) -> Dict[str, Any]:
         keys = jax.random.split(rng, len(self.layers))
         return {"layers": [l.init_params(k) for l, k in zip(self.layers, keys)]}
@@ -498,6 +560,7 @@ class RgnnEncoder(KgeBase):
             num_entities=self.dataset.num_entities(),
         )
         self._maybe_build_halo()
+        self._maybe_build_dense()
 
     def _maybe_build_halo(self):
         if self._halo_mesh is None or self._graph_np is None:
@@ -512,6 +575,69 @@ class RgnnEncoder(KgeBase):
                 self._graph_np, modes, P,
                 self.entity_embedder.padded_vocab_size,
             ))
+            # model-sharded: the halo row-block path scales over the
+            # mesh; drop any dense adjacency built for single-device
+            for key in [k for k in self._graph_np
+                        if k.startswith("dense_")]:
+                del self._graph_np[key]
+
+    def _maybe_build_dense(self):
+        """Dense [N, N] adjacency per mode with the degree norm baked in
+        (tpu.gnn_dense_adjacency; see MessagePassingLayer
+        _row_block_aggregate). Built ON DEVICE with one jitted
+        scatter-add per mode (shipping an N^2 host matrix over a
+        remote-attached transport would cost seconds) and stored in the
+        graph dict as a device array; graph() passes it through."""
+        if self._graph_np is None or self._halo_mesh is not None:
+            return
+        for key in [k for k in self._graph_np if k.startswith("dense_")]:
+            del self._graph_np[key]
+        modes = self.rgnn.dense_adjacency_modes()
+        if not modes:
+            return
+        from kge_tpu.ops.segment import degree_norm
+
+        g = self._graph_np
+        N = self.dataset.num_entities()
+        dtype = (jnp.float32 if self.config.get(
+            "tpu.gnn_dense_adjacency_dtype") == "float32"
+            else jnp.bfloat16)
+        use_norm = any(
+            getattr(l, "use_edge_norm", False) for l in self.rgnn.layers
+        )
+        E = g["edge_index"].shape[1]
+        loop = np.arange(N, dtype=np.int32)
+
+        def edge_set(mode):
+            ei = g["edge_index"]
+            if mode == "in":
+                return ei[0, : E // 2], ei[1, : E // 2]
+            if mode == "out":
+                return ei[0, E // 2:], ei[1, E // 2:]
+            if mode == "single":
+                return ei[0], ei[1]
+            # single_with_loops: the self edges ride along, exactly as
+            # apply()'s "" mode concatenates them
+            return (np.concatenate([ei[0], loop]),
+                    np.concatenate([ei[1], loop]))
+
+        def build(src, nbr):
+            ones = jnp.ones(src.shape[0], jnp.float32)
+            # same scale apply() computes: symmetric degree norm over
+            # the full mode edge set (masks are all-ones: eligibility
+            # requires zero edge dropout), or the plain 0/1 mask
+            scale = (degree_norm(src, nbr, ones, N)
+                     if use_norm else ones)
+            A = jnp.zeros((N, N), jnp.float32)
+            return A.at[src, nbr].add(scale).astype(dtype)
+
+        build = jax.jit(build)
+        for mode in modes:
+            src, nbr = edge_set(mode)
+            self._graph_np[f"dense_{mode}"] = build(
+                jnp.asarray(np.ascontiguousarray(src), jnp.int32),
+                jnp.asarray(np.ascontiguousarray(nbr), jnp.int32),
+            )
 
     def graph(self) -> Dict[str, jnp.ndarray]:
         g = {

@@ -439,6 +439,52 @@ class TrainingJob(TrainingOrEvaluationJob):
         donate = (0, 1, 2) if self.config.get("tpu.donate_buffers") else ()
         return jax.jit(many, donate_argnums=donate)
 
+    def _build_epoch_group_step(self, k: int) -> Callable:
+        """Like ``_build_group_step``, but over a DEVICE-RESIDENT
+        whole-epoch payload: the stacked arrays hold all M batches of
+        the epoch and stay on device across dispatches; each dispatch
+        scans batches [start, start+k). With on-device negative
+        sampling the host then ships ONE scalar per dispatch instead of
+        k batch payloads, removing the per-batch host collate/stack/
+        transfer cost from the epoch loop entirely (the residual e2e
+        gap after grouped dispatch was pure host-side Python). Math is
+        identical to the per-batch loop: same (start+i) RNG fold."""
+        step_fn = self._make_step_fn()
+
+        def many(params, opt_state, model_state, epoch_payload, lrs, rng,
+                 start_index):
+            def body(carry, i):
+                params, opt_state, model_state = carry
+                batch = jax.tree_util.tree_map(
+                    lambda v: jax.lax.dynamic_index_in_dim(
+                        v, start_index + i, keepdims=False
+                    ),
+                    epoch_payload,
+                )
+                step_rng = jax.random.fold_in(rng, start_index + i)
+                params, opt_state, model_state, metrics = step_fn(
+                    params, opt_state, model_state, batch, lrs, step_rng
+                )
+                return (params, opt_state, model_state), metrics
+
+            (params, opt_state, model_state), metrics = jax.lax.scan(
+                body, (params, opt_state, model_state),
+                jnp.arange(k, dtype=jnp.int32),
+            )
+            return params, opt_state, model_state, metrics
+
+        donate = (0, 1, 2) if self.config.get("tpu.donate_buffers") else ()
+        return jax.jit(many, donate_argnums=donate)
+
+    def _epoch_device_payload(self, epoch: int):
+        """Strategy hook: the whole epoch as ONE stacked host payload
+        ``{key: [M, ...]}`` (M = number of batches) for device-resident
+        grouped dispatch, or None when the strategy must collate each
+        batch on the host. Only cheap, small-payload strategies
+        implement it (on-device negative sampling ships [M, B] int32
+        positives and [M] sizes)."""
+        return None
+
     def _steps_per_dispatch(self) -> int:
         group = int(self.config.get("tpu.steps_per_dispatch"))
         if group <= 1:
@@ -712,6 +758,48 @@ class TrainingJob(TrainingOrEvaluationJob):
                 for key, v in sorted(batch_np.items())
             )
 
+        resident_np = (
+            self._epoch_device_payload(self.epoch) if group_size > 1
+            else None
+        )
+        if resident_np is not None:
+            # device-resident epoch: ship the whole (small) payload
+            # once, then each dispatch carries only a scalar start index
+            M = int(np.shape(resident_np["size"])[0])
+            k = min(group_size, M)
+            t0 = time.time()
+            dev_payload = self._put_batch(resident_np, stacked=True)
+            prepare_time += time.time() - t0
+            key = ("epoch", k)
+            if key not in self._group_steps:
+                self._group_steps[key] = self._build_epoch_group_step(k)
+            fn = self._group_steps[key]
+            full = (M // k) * k
+            for d in range(0, full, k):
+                out = fn(
+                    self.params, self.opt_state, self.model_state,
+                    dev_payload, lrs, epoch_rng, jnp.int32(d),
+                )
+                (self.params, self.opt_state, self.model_state,
+                 metrics) = out
+                batch_metrics.append((
+                    np.asarray(resident_np["size"][d:d + k],
+                               dtype=np.float64),
+                    metrics,
+                ))
+            num_batches = M
+            if full < M:  # tail shorter than k: per-batch dispatches
+                flush(
+                    [
+                        {key: v[j] for key, v in resident_np.items()}
+                        for j in range(full, M)
+                    ],
+                    full,
+                )
+            return self._finish_epoch(
+                batch_metrics, num_batches, prepare_time, epoch_start
+            )
+
         buffered: List[Dict[str, np.ndarray]] = []
         buffered_sig = None
         depth = int(self.config.get("tpu.prefetch_batches"))
@@ -748,7 +836,15 @@ class TrainingJob(TrainingOrEvaluationJob):
             self.params, self.opt_state = self._train_step.flush_pipeline(
                 self.params, self.opt_state, lrs
             )
+        return self._finish_epoch(
+            batch_metrics, num_batches, prepare_time, epoch_start
+        )
 
+    def _finish_epoch(self, batch_metrics, num_batches: int,
+                      prepare_time: float, epoch_start: float
+                      ) -> Dict[str, Any]:
+        """Epoch epilogue shared by the host-collate and device-resident
+        loops: fetch metrics, aggregate, trace."""
         # single device sync for the whole epoch (one bulk transfer; a
         # per-scalar float() would pay a dispatch round trip per metric)
         from kge_tpu.parallel.distributed import fetch_global

@@ -1075,7 +1075,52 @@ class TrainingJobNegativeSampling(TrainingJob):
                 out[f"neg_drop_{key}"] = drop
         return out
 
+    def _on_device_epoch_order(self, epoch: int) -> np.ndarray:
+        """The epoch's shuffled positive-index order for on-device
+        sampling, with the device triple pool staged. Draws the SAME
+        RNG sequence as the host-collate path in _generate_batches, so
+        the device-resident and per-batch loops are trajectory-equal
+        (graph sampling never combines with on-device sampling — see
+        _resolve_on_device_sampling)."""
+        rng = self._epoch_np_rng(epoch)
+        if self._np_seed >= 0:
+            self._sampler.seed((self._np_seed + 1, epoch))
+        triples_pool = self.dataset.split(self.train_split)
+        if self._device_pool is None:
+            import jax
+
+            self._device_pool = jax.device_put(
+                triples_pool.astype(np.int32), self.device
+            )
+        return rng.permutation(len(triples_pool))[: self.num_examples]
+
+    def _epoch_device_payload(self, epoch: int):
+        """Whole-epoch payload for device-resident grouped dispatch
+        (train.py _build_epoch_group_step): on-device sampling needs
+        only [M, B] positive indices and [M] true sizes on device — the
+        host then ships one scalar per dispatch instead of collating
+        every batch."""
+        if not self._on_device_sampling:
+            return None
+        idxs, sizes = [], []
+        for idx, _, true in self._pad_batch_indexes(
+            self._on_device_epoch_order(epoch)
+        ):
+            idxs.append(idx.astype(np.int32))
+            sizes.append(true)
+        return {
+            "pos_idx": np.stack(idxs),
+            "size": np.asarray(sizes, dtype=np.float32),
+        }
+
     def _generate_batches(self, epoch: int):
+        if self._on_device_sampling:
+            for idx, _, true in self._pad_batch_indexes(
+                self._on_device_epoch_order(epoch)
+            ):
+                yield {"pos_idx": idx.astype(np.int32),
+                       "size": np.float32(true)}
+            return
         rng = self._epoch_np_rng(epoch)
         if self._np_seed >= 0:
             # negatives re-derive per epoch too (see _epoch_np_rng):
@@ -1086,20 +1131,6 @@ class TrainingJobNegativeSampling(TrainingJob):
             triples_pool = self._sample_graph(rng)
         else:
             triples_pool = self.dataset.split(self.train_split)
-        if self._on_device_sampling:
-            if self._device_pool is None:
-                import jax
-
-                self._device_pool = jax.device_put(
-                    triples_pool.astype(np.int32), self.device
-                )
-            order = rng.permutation(
-                len(triples_pool)
-            )[: self.num_examples]
-            for idx, _, true in self._pad_batch_indexes(order):
-                yield {"pos_idx": idx.astype(np.int32),
-                       "size": np.float32(true)}
-            return
         order = rng.permutation(len(triples_pool))[: self.num_examples]
         for idx, weights, true in self._pad_batch_indexes(order):
             triples = triples_pool[idx].astype(np.int32)

@@ -160,6 +160,94 @@ def test_row_block_aggregation_matches_scatter():
         )
 
 
+def test_dense_adjacency_matches_row_blocks():
+    """tpu.gnn_dense_adjacency=always (one [N, N] matmul per mode with
+    the degree norm baked in) must reproduce the row-block aggregation's
+    scores AND gradients across qualifying propagation modes; the
+    eligibility gate must reject per-edge-scale configurations."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from kge_tpu import Dataset
+    from kge_tpu.models import Ctx, KgeModel
+    from tests.util import create_config, get_dataset_folder
+
+    def make(dense, propagation="direction", composition="sub",
+             edge_norm=True, extra=None):
+        config = create_config("dataset_test", model="compgcn")
+        config.set("compgcn.encoder.message_passing_args.propagation",
+                   propagation)
+        config.set("compgcn.encoder.message_passing_args.composition",
+                   composition)
+        config.set("compgcn.encoder.message_passing_args.edge_norm",
+                   edge_norm)
+        config.set("tpu.gnn_dense_adjacency", dense)
+        for key, v in (extra or {}).items():
+            config.set(key, v)
+        for key in ("compgcn.entity_embedder.dim",
+                    "compgcn.relation_embedder.dim",
+                    "compgcn.decoder.base_model.entity_embedder.dim",
+                    "compgcn.decoder.base_model.relation_embedder.dim"):
+            config.set(key, 16, create=True)
+        dataset = Dataset.create(config, get_dataset_folder("dataset_test"))
+        return KgeModel.create(config, dataset)
+
+    for propagation, composition, edge_norm in [
+        ("direction", "sub", True),
+        ("direction", "neighbor", False),
+        ("single", "neighbor", True),
+        ("single_with_self_edge_weight", "sub", False),
+    ]:
+        grads, scores = [], []
+        for dense in ("never", "always"):
+            model = make(dense, propagation, composition, edge_norm)
+            graph = model.get_rgnn_encoder()._graph_np
+            has_dense = any(k.startswith("dense_") for k in graph)
+            assert has_dense == (dense == "always"), (propagation, dense)
+            params = model.init_params(jax.random.PRNGKey(3))
+
+            def loss(params):
+                ctx = Ctx(train=False, state=model.init_state())
+                sc = model.score_sp(
+                    params, jnp.asarray([0, 1]), jnp.asarray([0, 1]),
+                    ctx=ctx,
+                )
+                return jnp.sum(sc ** 2), sc
+
+            (value, sc), g = jax.value_and_grad(loss, has_aux=True)(params)
+            scores.append(np.asarray(sc))
+            grads.append(g)
+        np.testing.assert_allclose(
+            scores[0], scores[1], rtol=2e-5, atol=1e-5,
+            err_msg=f"{propagation}/{composition}",
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
+                        jax.tree_util.tree_leaves(grads[1])):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5,
+                err_msg=f"{propagation}/{composition}",
+            )
+
+    # eligibility: per-edge scale (edge dropout / attention / learned
+    # alpha) must raise under always...
+    for extra in (
+        {"compgcn.encoder.edge_dropout": 0.5},
+        {"compgcn.encoder.message_passing_args.attention": True},
+        {"compgcn.encoder.message_passing_args.learned_relation_weight":
+         True},
+    ):
+        with pytest.raises(ValueError, match="gnn_dense_adjacency"):
+            make("always", extra=extra)
+    # ...and auto stays off on CPU (and for ineligible configs)
+    model = make("auto")
+    assert not any(
+        k.startswith("dense_")
+        for k in model.get_rgnn_encoder()._graph_np
+    )
+
+
 def test_row_block_gradients_match_scatter():
     """The custom symmetric backward (transpose row blocks) must
     reproduce autodiff's gradients wrt entity/relation tables and layer

@@ -214,6 +214,55 @@ def test_steps_per_dispatch_invariance_under_mesh():
     )
 
 
+def test_device_resident_epoch_invariance():
+    """With on-device sampling, grouped dispatch goes device-resident
+    (the whole epoch's positive indices ship once; each dispatch sends
+    a scalar start index — train.py _build_epoch_group_step). The
+    trajectory must be bit-compatible with per-batch dispatch: same
+    (start+i) RNG folds, same batches, tail shorter than the group
+    handled per-batch."""
+    import numpy as np
+    from kge_tpu import Dataset
+    from kge_tpu.train.train import TrainingJob
+    from tests.util import create_config
+
+    def run(group):
+        config = create_config("toy", model="complex")
+        config.set("console.quiet", True)
+        config.set("lookup_embedder.dim", 16)
+        config.set("train.type", "negative_sampling")
+        config.set("train.batch_size", 32)
+        config.set("train.max_epochs", 2)
+        config.set("train.loss", "kl")
+        config.set("negative_sampling.shared", True)
+        config.set("negative_sampling.implementation", "batch")
+        config.set("negative_sampling.num_samples.s", 3)
+        config.set("negative_sampling.num_samples.o", 3)
+        config.set("train.optimizer.default.args.lr", 0.1, create=True)
+        config.set("random_seed.default", 7)
+        config.set("valid.every", 0)
+        config.set("tpu.fused_negsamp_loss", "always")
+        config.set("tpu.on_device_sampling", "always")
+        config.set("tpu.steps_per_dispatch", group)
+        dataset = Dataset.create(config)
+        job = TrainingJob.create(config, dataset)
+        job.run()
+        assert job._on_device_sampling
+        return job
+
+    a = run(1)
+    b = run(4)
+    # the resident grouped program actually engaged (and a tail shorter
+    # than the group exists so the per-batch remainder path ran too)
+    assert ("epoch", 4) in b._group_steps
+    assert a.num_examples % (32 * 4) != 0
+    np.testing.assert_allclose(
+        np.asarray(a.params["entity_embedder"]["weights"]),
+        np.asarray(b.params["entity_embedder"]["weights"]),
+        atol=1e-6,
+    )
+
+
 def test_batch_trace_level_with_grouped_dispatch():
     """train.trace_level: batch must expand grouped metrics back into one
     trace entry per real batch."""
