@@ -759,7 +759,11 @@ class TrainingJob(TrainingOrEvaluationJob):
             )
 
         resident_np = (
-            self._epoch_device_payload(self.epoch) if group_size > 1
+            self._epoch_device_payload(self.epoch)
+            if group_size > 1
+            # user-registered batch hooks expect per-batch cadence on
+            # the host; the device-resident loop has no such points
+            and not self.pre_batch_hooks and not self.post_batch_hooks
             else None
         )
         if resident_np is not None:
