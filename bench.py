@@ -343,6 +343,33 @@ def _run_isolated(name, timeout):
     return parsed
 
 
+def _probe_backend(timeout=300):
+    """One tiny TPU program in a fresh subprocess; True when the
+    backend attaches and executes."""
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((128, 128))\n"
+        "assert float((x @ x).sum()) > 0\n"
+        "print('PROBE_OK')\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return "PROBE_OK" in proc.stdout
+
+
+# The TPU worker stays unreachable (attach blocks) or poisoned
+# (UNAVAILABLE/INTERNAL) for TENS OF MINUTES after a kernel fault or a
+# remote restart — observed repeatedly (docs/STATUS.md rounds 4-5). A
+# bounded wait-for-health budget, spent only when a probe fails, turns
+# "tunnel down at bench start -> zero metrics" into "bench starts late".
+HEALTH_WAIT_BUDGET_S = 2400.0
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--section":
         run_section(sys.argv[2])
@@ -354,12 +381,31 @@ def main():
         "unit": "triples/s/chip",
         "vs_baseline": 0.0,
     }
+    budget = HEALTH_WAIT_BUDGET_S
+    need_probe = True  # gate the first section too
     for name, timeout in SECTIONS:
+        while need_probe and budget > 0:
+            t0 = time.perf_counter()
+            if _probe_backend():
+                need_probe = False
+                break
+            budget -= time.perf_counter() - t0
+            wait = min(60.0, budget)
+            print(
+                f"bench: backend unhealthy before section {name}; "
+                f"retrying in {wait:.0f}s ({budget:.0f}s budget left)",
+                file=sys.stderr,
+            )
+            time.sleep(wait)
+            budget -= wait
         t0 = time.perf_counter()
         fields = _run_isolated(name, timeout)
         print(f"bench: section {name} done in "
               f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
         merged.update(fields)
+        # a failed section often means a crashed/poisoned worker:
+        # re-establish health before spending the next section's shot
+        need_probe = any(k.endswith("_error") for k in fields)
     print(json.dumps(merged), flush=True)
 
 
