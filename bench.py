@@ -50,9 +50,11 @@ SECTIONS = (
     ("w5m", 1500),
     ("epoch", 900),
     ("eval", 1500),
-    ("gnn_compgcn", 900),
+    # compgcn runs LAST: it exercises the newest path (dense adjacency)
+    # and a worker fault there must not poison the other families
     ("gnn_rgcn", 900),
     ("gnn_ragat", 900),
+    ("gnn_compgcn", 900),
 )
 
 
